@@ -1,0 +1,79 @@
+"""Frame preprocessing ops — resize + normalization, in-graph.
+
+The reference preprocesses on the host with OpenCV: ``cv2.resize(...,
+INTER_AREA)`` + BGR->RGB + CHW + /255 for YOLO (reference
+modules/hpe/hpe.py:50-56) and the ImageNet whitening used for the AR RGB
+branch (reference main.py:85-91). Here both run on-device inside the same
+XLA program as the networks that consume them.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+IMAGENET_SCALE = (0.229, 0.224, 0.225)
+IMAGENET_SHIFT = (0.485, 0.456, 0.406)
+
+
+def resize_area(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """Antialiased downscale approximating cv2.INTER_AREA.
+
+    img: (h, w, c) any numeric dtype -> float32 (out_h, out_w, c).
+    jax.image.resize with linear+antialias is a box-overlap weighted filter,
+    numerically close to INTER_AREA for the 640x480 -> 256x256 hot path.
+    """
+    import jax
+
+    return jax.image.resize(
+        img.astype(jnp.float32), (out_h, out_w, img.shape[-1]), method="linear", antialias=True
+    )
+
+
+def yolo_preprocess(frame_bgr: jnp.ndarray, size: int = 256) -> jnp.ndarray:
+    """640x480 BGR uint8 frame -> (1, 3, size, size) RGB float32 in [0, 1].
+
+    Mirrors reference hpe.py:50-56 (resize, BGR->RGB, CHW, /255).
+    """
+    small = resize_area(frame_bgr, size, size)
+    rgb = small[..., ::-1]
+    chw = jnp.transpose(rgb, (2, 0, 1))[None]
+    return chw / 255.0
+
+
+def ar_rgb_preprocess(crop_bgr: jnp.ndarray) -> jnp.ndarray:
+    """224x224 crop -> CHW float32 with the reference's whitening.
+
+    Note: the reference applies ``img * scale + shift`` (main.py:90,
+    dataloader.py:81) — scale-then-shift, not the standard (img - mean)/std.
+    We preserve that exact (idiosyncratic) transform since the AR checkpoints
+    were trained with it.
+    """
+    x = crop_bgr.astype(jnp.float32) / 255.0
+    x = x * jnp.asarray(IMAGENET_SCALE) + jnp.asarray(IMAGENET_SHIFT)
+    return jnp.transpose(x, (2, 0, 1))
+
+
+def center_square_crop_resize(img: jnp.ndarray, bbox, out: int = 224) -> jnp.ndarray:
+    """Square crop around bbox center, resized to (out, out).
+
+    Mirrors the host-side crop the reference feeds the AR RGB branch
+    (main.py:81-88). bbox: (x1, y1, x2, y2) pixel coords (static Python ints
+    or traced scalars — when traced, uses a dynamic-slice-free gather).
+    """
+    import jax
+
+    h, w, _ = img.shape
+    x1, y1, x2, y2 = bbox
+    xm = (x1 + x2) // 2
+    ym = (y1 + y2) // 2
+    half = jnp.maximum(xm - x1, ym - y1)
+    half = jnp.maximum(half, 1)
+    y_lo = jnp.maximum(ym - half, 0)
+    x_lo = jnp.maximum(xm - half, 0)
+    side = 2 * half
+    # Gather-based crop: sample `out` points across the square (nearest).
+    ys = y_lo + (jnp.arange(out) * side) // out
+    xs = x_lo + (jnp.arange(out) * side) // out
+    ys = jnp.clip(ys, 0, h - 1)
+    xs = jnp.clip(xs, 0, w - 1)
+    return img[ys][:, xs]

@@ -1,0 +1,224 @@
+"""Parity tests: JAX/XLA compute ops vs the numpy spec implementations."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from isbfsar_tpu import ops
+from tests import reference_impls as spec
+
+
+class TestNMS:
+    def test_nms_matches_greedy_spec(self, rng):
+        n = 40
+        centers = rng.uniform(0.2, 0.8, (n, 2))
+        sizes = rng.uniform(0.05, 0.3, (n, 2))
+        boxes = np.concatenate([centers - sizes / 2, centers + sizes / 2], axis=1).astype(np.float32)
+        scores = rng.uniform(0.0, 1.0, n).astype(np.float32)
+
+        kept_spec = set(spec.nms_greedy(boxes, scores, 0.5).tolist())
+
+        order = np.argsort(scores)[::-1]
+        keep = ops.nms_fixed(
+            jnp.asarray(boxes[order]), jnp.asarray(scores[order]), jnp.ones(n, bool), 0.5
+        )
+        kept_jax = set(order[np.asarray(keep)].tolist())
+        assert kept_jax == kept_spec
+
+    def test_best_person_matches_spec(self, rng):
+        n_anchor = 512
+        boxes = rng.uniform(0, 1, (1, n_anchor, 1, 4)).astype(np.float32)
+        confs = (rng.uniform(0, 1, (1, n_anchor, 80)) ** 4).astype(np.float32)
+
+        expected = spec.best_person_spec(boxes, confs, 0.3, 0.7)
+        box, conf, found = jax.jit(ops.best_person_box)(jnp.asarray(boxes), jnp.asarray(confs))
+        if expected is None:
+            assert not bool(found)
+        else:
+            assert bool(found)
+            np.testing.assert_allclose(np.asarray(box), expected[0], rtol=1e-6)
+            np.testing.assert_allclose(float(conf), expected[1], rtol=1e-6)
+
+    def test_best_person_none_when_below_threshold(self):
+        boxes = np.zeros((1, 16, 1, 4), np.float32)
+        confs = np.full((1, 16, 80), 0.1, np.float32)
+        _, _, found = ops.best_person_box(jnp.asarray(boxes), jnp.asarray(confs), 0.3)
+        assert not bool(found)
+
+    def test_postprocess_yolo_keeps_top_person(self, rng):
+        n_anchor = 256
+        boxes = rng.uniform(0, 1, (n_anchor, 4)).astype(np.float32)
+        confs = np.zeros((n_anchor, 80), np.float32)
+        confs[:, 0] = rng.uniform(0, 1, n_anchor)
+        dets, valid = jax.jit(ops.postprocess_yolo, static_argnums=(4,))(
+            jnp.asarray(boxes), jnp.asarray(confs), 0.3, 0.7, 32
+        )
+        dets, valid = np.asarray(dets), np.asarray(valid)
+        assert valid.any()
+        # The top kept detection is the global max-confidence box.
+        assert dets[0, 4] == pytest.approx(confs[:, 0].max(), rel=1e-6)
+
+
+class TestSoftArgmax:
+    def test_decode3d_matches_spec(self, rng):
+        logits = rng.normal(size=(2, 8, 8, 8, 32)).astype(np.float32)
+        got = np.asarray(ops.decode_heatmap3d(jnp.asarray(logits)))
+        want = spec.decode_heatmap_spec(logits, axes=(2, 1, 3))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_decode2d_matches_spec(self, rng):
+        logits = rng.normal(size=(2, 8, 8, 32)).astype(np.float32)
+        got = np.asarray(ops.decode_heatmap2d(jnp.asarray(logits)))
+        want = spec.decode_heatmap_spec(logits, axes=(2, 1)) * 255.0
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_split_head_logits(self, rng):
+        logits = rng.normal(size=(1, 8, 8, 288)).astype(np.float32)
+        l2, l3 = ops.split_head_logits(jnp.asarray(logits))
+        assert l2.shape == (1, 8, 8, 32)
+        assert l3.shape == (1, 8, 8, 8, 32)
+        # channel layout: [..., :32] is 2D; rest reshapes (d j) with j=32
+        np.testing.assert_array_equal(np.asarray(l2), logits[..., :32])
+        np.testing.assert_array_equal(
+            np.asarray(l3), logits[..., 32:].reshape(1, 8, 8, 8, 32)
+        )
+
+    def test_uniform_logits_decode_to_center(self):
+        logits = jnp.zeros((1, 8, 8, 8, 32))
+        got = np.asarray(ops.decode_heatmap3d(logits))
+        np.testing.assert_allclose(got, 0.5, atol=1e-6)
+
+
+class TestReconstruct:
+    def _make_case(self, rng, b=3, j=32):
+        pose = rng.normal(size=(b, j, 3)).astype(np.float32)
+        pose[..., 2] += 4.0  # in front of the camera
+        k = np.array([[300.0, 0, 128], [0, 300.0, 128], [0, 0, 1]], np.float32)
+        proj = pose @ k.T
+        coords2d = (proj[..., :2] / proj[..., 2:]).astype(np.float32)
+        rel = (pose - pose.mean(axis=1, keepdims=True)).astype(np.float32)
+        fov = np.all((coords2d > 18) & (coords2d < 238), axis=-1)
+        return pose, coords2d, rel, np.tile(k[None], (b, 1, 1)), fov
+
+    def test_reference_point_matches_lstsq_spec(self, rng):
+        _, coords2d, rel, ks, fov = self._make_case(rng)
+        inv_k = np.linalg.inv(ks)
+        normalized = (spec.homog(coords2d) @ inv_k.swapaxes(1, 2))[..., :2]
+        want = spec.reconstruct_ref_spec(normalized, rel, fov)
+        got = np.asarray(
+            ops.reconstruct_reference_point(
+                jnp.asarray(normalized), jnp.asarray(rel), jnp.asarray(fov)
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+    def test_absolute_matches_spec(self, rng):
+        _, coords2d, rel, ks, fov = self._make_case(rng)
+        want = spec.reconstruct_absolute_spec(coords2d, rel, ks, fov)
+        got = np.asarray(
+            ops.reconstruct_absolute(
+                jnp.asarray(coords2d), jnp.asarray(rel), jnp.asarray(ks), jnp.asarray(fov)
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+    def test_recovers_true_translation(self, rng):
+        # With perfect projections + full visibility, reconstruction must
+        # recover the synthesized absolute pose to ~1mm (pose units ~ meters).
+        pose, coords2d, rel, ks, fov = self._make_case(rng, b=1)
+        fov = np.ones_like(fov)
+        got = np.asarray(
+            ops.reconstruct_absolute(
+                jnp.asarray(coords2d), jnp.asarray(rel), jnp.asarray(ks), jnp.asarray(fov)
+            )
+        )
+        np.testing.assert_allclose(got, pose, atol=2e-3)
+
+    def test_fov_check(self):
+        coords = jnp.asarray([[[20.0, 30.0], [10.0, 30.0], [240.0, 100.0], [100.0, 100.0]]])
+        got = np.asarray(ops.is_within_fov(coords))
+        np.testing.assert_array_equal(got[0], [True, False, False, True])
+
+
+class TestVirtualCamera:
+    def test_matches_spec(self):
+        k = np.array([[384.0, 0, 319.1], [0, 384.0, 237.8], [0, 0, 1]], np.float32)
+        for bbox in [(100, 300, 50, 400), (0, 640, 0, 480), (500, 620, 300, 470)]:
+            x1, x2, y1, y2 = bbox
+            want_k, want_r = spec.virtual_camera_spec(x1, x2, y1, y2, k, 256)
+            got_k, got_r = ops.virtual_camera(
+                jnp.float32(x1), jnp.float32(x2), jnp.float32(y1), jnp.float32(y2),
+                jnp.asarray(k), 256,
+            )
+            np.testing.assert_allclose(np.asarray(got_k), want_k, rtol=1e-4)
+            np.testing.assert_allclose(np.asarray(got_r), want_r, rtol=1e-4, atol=1e-6)
+
+    def test_warp_matrix_roundtrip(self):
+        k = np.array([[384.0, 0, 319.1], [0, 384.0, 237.8], [0, 0, 1]], np.float32)
+        new_k, rot = ops.virtual_camera(
+            jnp.float32(100), jnp.float32(300), jnp.float32(50), jnp.float32(400),
+            jnp.asarray(k), 256,
+        )
+        h = np.asarray(ops.warp_matrix(jnp.asarray(k), new_k, rot))
+        # H maps crop pixels back to frame pixels: K @ inv(new_K @ R)
+        want = k.astype(np.float64) @ np.linalg.inv(
+            np.asarray(new_k, np.float64)[None] @ np.asarray(rot, np.float64)
+        )
+        np.testing.assert_allclose(h, want, rtol=1e-4, atol=1e-5)
+
+
+class TestWarp:
+    def test_matches_spec_small(self, rng):
+        img = rng.integers(0, 255, (40, 60, 3)).astype(np.float32)
+        t = np.array(
+            [
+                np.eye(3),
+                [[0.5, 0.1, 3.0], [-0.05, 0.7, 2.0], [1e-4, -2e-4, 1.0]],
+                [[2.0, 0.0, -8.0], [0.0, 2.0, -5.0], [0.0, 0.0, 2.0]],  # H22 != 1
+            ],
+            dtype=np.float32,
+        )
+        got = np.asarray(ops.warp_image(jnp.asarray(img), jnp.asarray(t), out_size=32))
+        want = spec.warp_spec(img, t, out_size=32)
+        np.testing.assert_array_equal(got, want)
+
+    def test_identity_warp(self, rng):
+        img = rng.integers(0, 255, (64, 64, 3)).astype(np.float32)
+        out = np.asarray(ops.warp_image(jnp.asarray(img), jnp.eye(3)[None], out_size=64))
+        np.testing.assert_array_equal(out[0], img)
+
+    def test_bilinear_identity(self, rng):
+        img = rng.integers(0, 255, (64, 64, 3)).astype(np.float32)
+        out = np.asarray(ops.warp_image_bilinear(jnp.asarray(img), jnp.eye(3)[None], out_size=64))
+        np.testing.assert_allclose(out[0], img, atol=1e-3)
+
+
+class TestTuples:
+    def test_pairs_16(self):
+        t = ops.frame_tuples(16, 2)
+        assert t.shape == (120, 2)
+        assert ops.n_tuples(8, 2) == 28
+        # lexicographic ordering, as itertools.combinations (reference model.py:52-55)
+        assert t[0].tolist() == [0, 1] and t[-1].tolist() == [14, 15]
+
+
+class TestImageOps:
+    def test_yolo_preprocess_shape_range(self, rng):
+        frame = rng.integers(0, 255, (480, 640, 3)).astype(np.uint8)
+        out = np.asarray(ops_image().yolo_preprocess(jnp.asarray(frame)))
+        assert out.shape == (1, 3, 256, 256)
+        assert out.min() >= 0.0 and out.max() <= 1.0
+
+    def test_ar_rgb_preprocess_matches_host_formula(self, rng):
+        crop = rng.integers(0, 255, (224, 224, 3)).astype(np.uint8)
+        got = np.asarray(ops_image().ar_rgb_preprocess(jnp.asarray(crop)))
+        want = (crop / 255.0) * np.array([0.229, 0.224, 0.225]) + np.array([0.485, 0.456, 0.406])
+        want = want.swapaxes(-1, -3).swapaxes(-1, -2)
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def ops_image():
+    from isbfsar_tpu.ops import image
+
+    return image
