@@ -182,3 +182,80 @@ def warp_spec(img, transforms, out_size=256):
                 if 0 <= sx < w and 0 <= sy < h:
                     out[b, oy, ox] = img[sy, sx]
     return out
+
+
+# ------------------------------------------------------------------ TRX spec
+
+
+def pe_table_spec(max_len, d, scale=0.1):
+    """Spec of reference model.py:17-23."""
+    pos = np.arange(max_len)[:, None].astype(np.float64)
+    div = np.exp(np.arange(0, d, 2) * -(np.log(10000.0) / d))
+    pe = np.zeros((max_len, d), np.float64)
+    pe[:, 0::2] = np.sin(pos * div) * scale
+    pe[:, 1::2] = np.cos(pos * div) * scale
+    return pe
+
+
+def layernorm_spec(x, gamma, beta, eps=1e-6):
+    mu = x.mean(-1, keepdims=True)
+    var = x.var(-1, keepdims=True)
+    return (x - mu) / np.sqrt(var + eps) * gamma + beta
+
+
+def trx_transformer_spec(params, support_feats, query_feats, live_classes, seq_len, out_dim=128):
+    """Spec of the TemporalCrossTransformer forward (reference model.py:59-148),
+    literal per-class loop. params: the flax param subtree for the transformer.
+    support_feats: (way, L, D); query_feats: (L, D); live_classes: list of
+    slot indices to evaluate (the reference iterates only live labels).
+    Returns (logits (n_live,), diffs (n_live, T, out_dim)).
+    """
+    import itertools
+
+    d = query_feats.shape[-1]
+    pe = pe_table_spec(int(seq_len * 1.5), d)[:seq_len]
+    s = support_feats.astype(np.float64) + pe
+    q = query_feats.astype(np.float64) + pe
+
+    tuples = list(itertools.combinations(range(seq_len), 2))
+    s_tup = np.stack([s[:, list(t)].reshape(s.shape[0], -1) for t in tuples], axis=1)  # (way, T, 2D)
+    q_tup = np.stack([q[list(t)].reshape(-1) for t in tuples], axis=0)  # (T, 2D)
+
+    kw, kb = np.asarray(params["k_linear"]["kernel"], np.float64), np.asarray(params["k_linear"]["bias"], np.float64)
+    vw, vb = np.asarray(params["v_linear"]["kernel"], np.float64), np.asarray(params["v_linear"]["bias"], np.float64)
+    gamma = np.asarray(params["norm_k"]["scale"], np.float64)
+    beta = np.asarray(params["norm_k"]["bias"], np.float64)
+
+    s_k = layernorm_spec(s_tup @ kw + kb, gamma, beta)
+    q_k = layernorm_spec(q_tup @ kw + kb, gamma, beta)
+    s_v = s_tup @ vw + vb
+    q_v = q_tup @ vw + vb
+
+    logits, diffs = [], []
+    for c in live_classes:
+        scores = (q_k @ s_k[c].T) / np.sqrt(out_dim)  # (T_q, T_s)
+        # softmax over the query-tuple axis (reference class_softmax dim=-2)
+        e = np.exp(scores - scores.max(axis=0, keepdims=True))
+        attn = e / e.sum(axis=0, keepdims=True)
+        proto = attn @ s_v[c]  # (T_q, out_dim)
+        diff = q_v - proto
+        dist = -(np.square(diff).sum() / len(tuples))
+        logits.append(dist)
+        diffs.append(diff)
+    return np.asarray(logits), np.stack(diffs)
+
+
+def discriminator_spec(params, diff):
+    """Spec of reference model.py:183-204 on one (T, 128) diff tensor."""
+    y = diff @ np.asarray(params["reduce"]["kernel"], np.float64) + np.asarray(params["reduce"]["bias"], np.float64)
+    y = y.reshape(-1)
+    y = np.maximum(0, y @ np.asarray(params["fc1"]["kernel"], np.float64) + np.asarray(params["fc1"]["bias"], np.float64))
+    y = np.maximum(0, y @ np.asarray(params["fc2"]["kernel"], np.float64) + np.asarray(params["fc2"]["bias"], np.float64))
+    y = y @ np.asarray(params["fc3"]["kernel"], np.float64) + np.asarray(params["fc3"]["bias"], np.float64)
+    return 1.0 / (1.0 + np.exp(-y))
+
+
+def skeleton_mlp_spec(params, x):
+    """Spec of reference model.py:164-180 (ReLU on the output too)."""
+    h = np.maximum(0, x @ np.asarray(params["fc1"]["kernel"], np.float64) + np.asarray(params["fc1"]["bias"], np.float64))
+    return np.maximum(0, h @ np.asarray(params["fc2"]["kernel"], np.float64) + np.asarray(params["fc2"]["bias"], np.float64))
