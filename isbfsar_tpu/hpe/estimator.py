@@ -1,0 +1,177 @@
+"""Human pose estimation: frame -> absolute 3D skeleton, one XLA program.
+
+Behavioral rebuild of the reference's ``HumanPoseEstimator``
+(reference modules/hpe/hpe.py:14-173). The reference splits the work across
+four TensorRT engines with host numpy between them (resize/YOLO -> CPU NMS ->
+host homography -> warp engine -> backbone engine -> heads engine -> host
+soft-argmax + least squares). Here the entire chain — YOLO preprocess,
+detection, person selection, virtual-camera homography, crop warp, backbone,
+heatmap head, 2D/3D soft-argmax, FOV masking, absolute reconstruction,
+de-rotation and 32 -> 30 joint mapping — is ONE jit-compiled program: a
+single host->device transfer of the camera frame per call, flags instead of
+early returns (XLA needs static shapes; the Python wrapper converts the
+flags back into the reference's ``None`` contract).
+
+Output contract (reference hpe.py:171-173): dict with ``pose`` (30, 3)
+absolute camera-space joints, ``edges`` (29, 2), ``bbox`` (x1, x2, y1, y2).
+``None`` when no person is found or when fewer than 1/4 of the joints are
+inside the field of view (hpe.py:69-73, 149-153). In ``just_box`` mode only
+the detector runs and the dict carries the bbox (hpe.py:82-83).
+
+The 32->122 joint expansion and the 30-joint selection are fused into one
+precomputed (32, 30) matrix (reference hpe.py:162-167 does expand-then-index;
+the composition is exact and 4x fewer FLOPs).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from isbfsar_tpu.configs import CameraIntrinsics, HPEConfig
+from isbfsar_tpu.models.effnetv2 import V2_L, EfficientNetV2, MetrabsHead
+from isbfsar_tpu.models.yolov4 import YOLOv4
+from isbfsar_tpu.ops.geometry import is_within_fov, mm, virtual_camera, warp_matrix
+from isbfsar_tpu.ops.image import resize_area
+from isbfsar_tpu.ops.nms import best_person_box
+from isbfsar_tpu.ops.reconstruct import reconstruct_absolute
+from isbfsar_tpu.ops.softargmax import decode_heatmap2d, decode_heatmap3d, split_head_logits
+from isbfsar_tpu.ops.warp import warp_image
+from isbfsar_tpu.utils.skeleton import get_skeleton, load_expand_joints
+
+
+class HumanPoseEstimator:
+    def __init__(
+        self,
+        config: HPEConfig,
+        intrinsics: CameraIntrinsics,
+        params: Optional[Dict[str, Any]] = None,
+        seed: int = 0,
+        backbone_stages: Sequence = V2_L,
+        frame_shape: Tuple[int, int] = (480, 640),
+        just_box: Optional[bool] = None,
+        yolo_width: float = 1.0,
+    ):
+        self.config = config
+        self.just_box = config.just_box if just_box is None else just_box
+        self.frame_shape = frame_shape
+        self.k_matrix = jnp.asarray(intrinsics.matrix())
+
+        self.yolo = YOLOv4(dtype=jnp.dtype(config.compute_dtype), width=yolo_width)
+        self.bbone = EfficientNetV2(stages=backbone_stages, dtype=jnp.dtype(config.compute_dtype))
+        self.head = MetrabsHead()
+
+        self.skeleton = get_skeleton(config.skeleton) if config.skeleton else None
+        expand = load_expand_joints(config.expand_joints_path)  # (32, 122)
+        if self.skeleton is not None:
+            # Fuse expansion + selection: (32, n_joints).
+            self.joint_matrix = jnp.asarray(expand[:, list(self.skeleton.indices)])
+            self.edges = np.asarray(self.skeleton.edges)
+        else:
+            self.joint_matrix = jnp.asarray(expand)
+            self.edges = None
+
+        self.params = params if params is not None else self._init_params(seed)
+        self._estimate_jit = jax.jit(self._estimate_impl)
+        self._box_jit = jax.jit(self._box_impl)
+
+    # ----------------------------------------------------------------- setup
+
+    def _init_params(self, seed: int) -> Dict[str, Any]:
+        key = jax.random.key(seed)
+        k1, k2, k3 = jax.random.split(key, 3)
+        s = self.config.yolo_input_size
+        c = self.config.crop_size
+        yolo = self.yolo.init(k1, jnp.zeros((1, s, s, 3)))
+        bbone = self.bbone.init(k2, jnp.zeros((1, c, c, 3)))
+        feat = jax.eval_shape(lambda p, x: self.bbone.apply(p, x), bbone, jnp.zeros((1, c, c, 3)))
+        head = self.head.init(k3, jnp.zeros((1,) + feat.shape[1:]))
+        return {"yolo": yolo, "bbone": bbone, "head": head}
+
+    # ------------------------------------------------------------ jit bodies
+
+    def _detect(self, params, frame):
+        """frame (H, W, 3) uint8 -> clamped pixel bbox + found flag."""
+        cfg = self.config
+        h, w = frame.shape[0], frame.shape[1]
+        small = resize_area(frame, cfg.yolo_input_size, cfg.yolo_input_size)
+        yolo_in = (small[..., ::-1] / 255.0)[None]  # BGR -> RGB, NHWC
+        boxes, confs = self.yolo.apply(params["yolo"], yolo_in)
+        box, conf, found = best_person_box(boxes, confs, cfg.yolo_thresh)
+        # Pixel coords, truncated, clamped at 0 (reference hpe.py:76-79).
+        x1 = jnp.maximum((box[0] * w).astype(jnp.int32), 0)
+        y1 = jnp.maximum((box[1] * h).astype(jnp.int32), 0)
+        x2 = jnp.maximum((box[2] * w).astype(jnp.int32), 0)
+        y2 = jnp.maximum((box[3] * h).astype(jnp.int32), 0)
+        # Degenerate-box guard (the reference never evaluates these when no
+        # person is found; we compute unconditionally under jit).
+        x2 = jnp.maximum(x2, x1 + 1)
+        y2 = jnp.maximum(y2, y1 + 1)
+        return (x1, y1, x2, y2), conf, found
+
+    def _box_impl(self, params, frame):
+        (x1, y1, x2, y2), conf, found = self._detect(params, frame)
+        return jnp.stack([x1, y1, x2, y2]), conf, found
+
+    def _estimate_impl(self, params, frame):
+        cfg = self.config
+        (x1, y1, x2, y2), conf, found = self._detect(params, frame)
+
+        f32 = lambda v: v.astype(jnp.float32)
+        new_k, rot = virtual_camera(f32(x1), f32(x2), f32(y1), f32(y2), self.k_matrix, cfg.crop_size)
+        h_mat = warp_matrix(self.k_matrix, new_k, rot)  # (1, 3, 3)
+
+        crop = warp_image(frame.astype(jnp.int32), h_mat, cfg.crop_size)  # (1, c, c, 3)
+        bbone_in = crop.astype(jnp.float32) / 255.0
+
+        feats = self.bbone.apply(params["bbone"], bbone_in)
+        logits = self.head.apply(params["head"], feats)  # (1, 8, 8, 288)
+
+        logits2d, logits3d = split_head_logits(logits)
+        pred3d = decode_heatmap3d(logits3d)  # (1, 32, 3) in [0, 1]
+        pred2d = decode_heatmap2d(logits2d)  # (1, 32, 2) in [0, 255]
+
+        fov = is_within_fov(pred2d)  # (1, 32)
+        visible = jnp.sum(fov) >= fov.size / 4  # reference hpe.py:152
+
+        pred3d = reconstruct_absolute(pred2d, pred3d, new_k[None], fov)
+        pred3d = mm(pred3d, rot)  # back to original camera space (hpe.py:159)
+        pose = jnp.einsum("bjc,jn->bnc", pred3d, self.joint_matrix,
+                          precision=jax.lax.Precision.HIGHEST)[0]
+
+        bbox = jnp.stack([x1, x2, y1, y2])  # reference return order (hpe.py:173)
+        return pose, bbox, conf, found, visible
+
+    # ------------------------------------------------------------ public API
+
+    def estimate(self, frame: np.ndarray) -> Optional[Dict[str, Any]]:
+        """frame: (H, W, 3) BGR uint8. Returns the reference's dict contract."""
+        frame = jnp.asarray(frame)
+        if self.just_box:
+            bbox, conf, found = self._box_jit(self.params, frame)
+            if not bool(found):
+                return None
+            x1, y1, x2, y2 = np.asarray(bbox)
+            return {"bbox": (int(x1), int(y1), int(x2), int(y2))}
+
+        pose, bbox, conf, found, visible = self._estimate_jit(self.params, frame)
+        if not bool(found) or not bool(visible):
+            return None
+        x1, x2, y1, y2 = (int(v) for v in np.asarray(bbox))
+        return {
+            "pose": np.asarray(pose),
+            "edges": self.edges,
+            "bbox": (x1, x2, y1, y2),
+        }
+
+    def warmup(self, n: int = 2) -> None:
+        """Compile + prime the programs (reference tensorrt_runner.py:60-62)."""
+        dummy = jnp.zeros(self.frame_shape + (3,), jnp.uint8)
+        for _ in range(n):
+            if self.just_box:
+                jax.block_until_ready(self._box_jit(self.params, dummy))
+            else:
+                jax.block_until_ready(self._estimate_jit(self.params, dummy))

@@ -1,0 +1,253 @@
+"""YOLOv4 person detector in Flax (NHWC, bf16) — replaces ``yolo.engine``.
+
+The reference runs the Tianxiaomo pytorch-YOLOv4 export as a TensorRT fp16
+engine: 1x3x256x256 -> boxes (1, 4032, 1, 4) + confs (1, 4032, 80)
+(reference modules/hpe/setup/1_extract_yolo_onnx.py:1-64, loaded hpe.py:42,
+consumed hpe.py:58-61). This is a ground-up Flax implementation of the same
+architecture — CSPDarknet-53 backbone (Mish), SPP + PAN neck (LeakyReLU),
+three anchor-based decode heads — emitting the identical output contract so
+the downstream NMS/selection math is interchangeable.
+
+In-graph decode: the sigmoid/exp/grid box transform runs on the VPU inside
+the same XLA program; 4032 = 3 anchors x (32^2 + 16^2 + 8^2) cells at 256px.
+
+TPU notes: NHWC, bf16 convs on the MXU; decode in float32. The fp32 anchor
+grids are compile-time constants (broadcasted_iota), no host round-trip.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+ANCHORS = (
+    ((12, 16), (19, 36), (40, 28)),  # stride 8
+    ((36, 75), (76, 55), (72, 146)),  # stride 16
+    ((142, 110), (192, 243), (459, 401)),  # stride 32
+)
+SCALE_XY = (1.2, 1.1, 1.05)
+
+
+def mish(x):
+    return x * jnp.tanh(jax.nn.softplus(x))
+
+
+class ConvBlock(nn.Module):
+    filters: int
+    kernel: int = 3
+    stride: int = 1
+    act: str = "mish"  # mish | leaky | linear
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        use_bn = self.act != "linear"
+        pad = (self.kernel - 1) // 2
+        x = nn.Conv(
+            self.filters, (self.kernel, self.kernel), (self.stride, self.stride),
+            padding=[(pad, pad), (pad, pad)], use_bias=not use_bn, dtype=self.dtype, name="conv",
+        )(x)
+        if use_bn:
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-4,
+                dtype=self.dtype, name="bn",
+            )(x)
+        if self.act == "mish":
+            x = mish(x)
+        elif self.act == "leaky":
+            x = nn.leaky_relu(x, 0.1)
+        return x
+
+
+class ResBlock(nn.Module):
+    """Darknet residual: 1x1 -> 3x3 with skip, Mish."""
+
+    hidden: int
+    out: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = ConvBlock(self.hidden, 1, dtype=self.dtype, name="conv1")(x, train)
+        y = ConvBlock(self.out, 3, dtype=self.dtype, name="conv2")(y, train)
+        return x + y
+
+
+class CSPStage(nn.Module):
+    """Cross-stage-partial stage: downsample, split, residual trunk, merge."""
+
+    filters: int  # output channels
+    n_blocks: int
+    first: bool = False  # stage 1 keeps full width on both routes
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        split = self.filters if self.first else self.filters // 2
+        x = ConvBlock(self.filters, 3, 2, dtype=self.dtype, name="down")(x, train)
+        route = ConvBlock(split, 1, dtype=self.dtype, name="route")(x, train)
+        y = ConvBlock(split, 1, dtype=self.dtype, name="trunk_in")(x, train)
+        hidden = split // 2 if self.first else split
+        for i in range(self.n_blocks):
+            y = ResBlock(hidden, split, dtype=self.dtype, name=f"res{i}")(y, train)
+        y = ConvBlock(split, 1, dtype=self.dtype, name="trunk_out")(y, train)
+        y = jnp.concatenate([y, route], axis=-1)
+        return ConvBlock(self.filters, 1, dtype=self.dtype, name="merge")(y, train)
+
+
+def _scaled(n: int, width: float) -> int:
+    """Channel scaling for slim variants; width=1.0 is the reference arch."""
+    return max(8, int(round(n * width / 8)) * 8) if width != 1.0 else n
+
+
+class CSPDarknet53(nn.Module):
+    dtype: Any = jnp.bfloat16
+    width: float = 1.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        c = lambda n: _scaled(n, self.width)
+        deep = 1.0 if self.width == 1.0 else 0.25
+        blocks = lambda n: max(1, int(round(n * deep)))
+        x = ConvBlock(c(32), 3, dtype=self.dtype, name="stem")(x, train)
+        x = CSPStage(c(64), 1, first=True, dtype=self.dtype, name="stage1")(x, train)
+        x = CSPStage(c(128), blocks(2), dtype=self.dtype, name="stage2")(x, train)
+        d3 = CSPStage(c(256), blocks(8), dtype=self.dtype, name="stage3")(x, train)
+        d4 = CSPStage(c(512), blocks(8), dtype=self.dtype, name="stage4")(d3, train)
+        d5 = CSPStage(c(1024), blocks(4), dtype=self.dtype, name="stage5")(d4, train)
+        return d3, d4, d5
+
+
+def _conv_stack(filters: Sequence[Tuple[int, int]], dtype, name_prefix: str):
+    """Alternating 1x1/3x3 leaky conv stack builder."""
+    return [
+        ConvBlock(f, k, act="leaky", dtype=dtype, name=f"{name_prefix}{i}")
+        for i, (f, k) in enumerate(filters)
+    ]
+
+
+def _upsample2(x):
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, 2 * h, 2 * w, c), method="nearest")
+
+
+class Neck(nn.Module):
+    """SPP on the deepest scale + PAN top-down path (LeakyReLU)."""
+
+    dtype: Any = jnp.bfloat16
+    width: float = 1.0
+
+    @nn.compact
+    def __call__(self, d3, d4, d5, train: bool = False):
+        c = lambda n: _scaled(n, self.width)
+
+        def run(x, stack):
+            for m in stack:
+                x = m(x, train)
+            return x
+
+        # SPP
+        x = run(d5, _conv_stack([(c(512), 1), (c(1024), 3), (c(512), 1)], self.dtype, "pre_spp"))
+        pools = [x] + [
+            nn.max_pool(x, (k, k), strides=(1, 1), padding=[(k // 2, k // 2)] * 2)
+            for k in (5, 9, 13)
+        ]
+        x = jnp.concatenate(pools[::-1], axis=-1)
+        p5 = run(x, _conv_stack([(c(512), 1), (c(1024), 3), (c(512), 1)], self.dtype, "post_spp"))
+
+        # top-down to stride 16
+        up = _upsample2(ConvBlock(c(256), 1, act="leaky", dtype=self.dtype, name="p5_up")(p5, train))
+        lat4 = ConvBlock(c(256), 1, act="leaky", dtype=self.dtype, name="lat4")(d4, train)
+        x = jnp.concatenate([lat4, up], axis=-1)
+        p4 = run(x, _conv_stack([(c(256), 1), (c(512), 3), (c(256), 1), (c(512), 3), (c(256), 1)], self.dtype, "p4_"))
+
+        # top-down to stride 8
+        up = _upsample2(ConvBlock(c(128), 1, act="leaky", dtype=self.dtype, name="p4_up")(p4, train))
+        lat3 = ConvBlock(c(128), 1, act="leaky", dtype=self.dtype, name="lat3")(d3, train)
+        x = jnp.concatenate([lat3, up], axis=-1)
+        p3 = run(x, _conv_stack([(c(128), 1), (c(256), 3), (c(128), 1), (c(256), 3), (c(128), 1)], self.dtype, "p3_"))
+        return p3, p4, p5
+
+
+def decode_scale(raw: jnp.ndarray, anchors, scale_xy: float, input_size: int, n_classes: int):
+    """(b, h, w, 3*(5+C)) raw head -> (boxes (b, 3*h*w, 4) in [0,1] x1y1x2y2,
+    confs (b, 3*h*w, C) = sigmoid(obj) * sigmoid(cls))."""
+    b, h, w, _ = raw.shape
+    n_anchor = len(anchors)
+    raw = raw.astype(jnp.float32).reshape(b, h, w, n_anchor, 5 + n_classes)
+
+    gx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    gy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+
+    txy = jax.nn.sigmoid(raw[..., 0:2]) * scale_xy - 0.5 * (scale_xy - 1.0)
+    bx = (txy[..., 0] + gx[..., None]) / w
+    by = (txy[..., 1] + gy[..., None]) / h
+    anchor_wh = jnp.asarray(anchors, jnp.float32) / input_size  # (3, 2)
+    bw = jnp.exp(raw[..., 2]) * anchor_wh[:, 0]
+    bh = jnp.exp(raw[..., 3]) * anchor_wh[:, 1]
+
+    boxes = jnp.stack([bx - bw / 2, by - bh / 2, bx + bw / 2, by + bh / 2], axis=-1)
+    confs = jax.nn.sigmoid(raw[..., 5:]) * jax.nn.sigmoid(raw[..., 4:5])
+
+    # flatten (h, w, anchor) -> n
+    boxes = boxes.reshape(b, h * w * n_anchor, 4)
+    confs = confs.reshape(b, h * w * n_anchor, n_classes)
+    return boxes, confs
+
+
+class YOLOv4(nn.Module):
+    """Full detector. Input (b, s, s, 3) float in [0, 1] NHWC.
+
+    Returns (boxes (b, N, 1, 4), confs (b, N, C)) with N = 3*(s/8)^2 +
+    3*(s/16)^2 + 3*(s/32)^2 (= 4032 at s=256) — the reference engine's
+    output contract (hpe.py:60).
+    """
+
+    n_classes: int = 80
+    dtype: Any = jnp.bfloat16
+    width: float = 1.0  # 1.0 = reference architecture; <1 = slim variant
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        input_size = x.shape[1]
+        c = lambda n: _scaled(n, self.width)
+        x = x.astype(self.dtype)
+        d3, d4, d5 = CSPDarknet53(dtype=self.dtype, width=self.width, name="backbone")(x, train)
+        p3, p4, p5 = Neck(dtype=self.dtype, width=self.width, name="neck")(d3, d4, d5, train)
+
+        def run(z, stack):
+            for m in stack:
+                z = m(z, train)
+            return z
+
+        out_ch = 3 * (5 + self.n_classes)
+
+        # scale 1 (stride 8)
+        y1 = ConvBlock(c(256), 3, act="leaky", dtype=self.dtype, name="head1_conv")(p3, train)
+        y1 = ConvBlock(out_ch, 1, act="linear", dtype=self.dtype, name="head1_out")(y1, train)
+
+        # bottom-up to stride 16
+        z = ConvBlock(c(256), 3, 2, act="leaky", dtype=self.dtype, name="down4")(p3, train)
+        z = jnp.concatenate([z, p4], axis=-1)
+        z = run(z, _conv_stack([(c(256), 1), (c(512), 3), (c(256), 1), (c(512), 3), (c(256), 1)], self.dtype, "h4_"))
+        y2 = ConvBlock(c(512), 3, act="leaky", dtype=self.dtype, name="head2_conv")(z, train)
+        y2 = ConvBlock(out_ch, 1, act="linear", dtype=self.dtype, name="head2_out")(y2, train)
+
+        # bottom-up to stride 32
+        z2 = ConvBlock(c(512), 3, 2, act="leaky", dtype=self.dtype, name="down5")(z, train)
+        z2 = jnp.concatenate([z2, p5], axis=-1)
+        z2 = run(z2, _conv_stack([(c(512), 1), (c(1024), 3), (c(512), 1), (c(1024), 3), (c(512), 1)], self.dtype, "h5_"))
+        y3 = ConvBlock(c(1024), 3, act="leaky", dtype=self.dtype, name="head3_conv")(z2, train)
+        y3 = ConvBlock(out_ch, 1, act="linear", dtype=self.dtype, name="head3_out")(y3, train)
+
+        all_boxes, all_confs = [], []
+        for raw, anchors, sxy in zip((y1, y2, y3), ANCHORS, SCALE_XY):
+            bx, cf = decode_scale(raw, anchors, sxy, input_size, self.n_classes)
+            all_boxes.append(bx)
+            all_confs.append(cf)
+        boxes = jnp.concatenate(all_boxes, axis=1)[:, :, None, :]
+        confs = jnp.concatenate(all_confs, axis=1)
+        return boxes, confs

@@ -1,0 +1,115 @@
+"""HPE tests: model output contracts + fused pipeline behavior.
+
+CPU CI uses slim variants (yolo width 0.25 at 128px, EfficientNetV2-tiny);
+the architecture/graph topology is identical to the production V2-L/width-1
+configuration, only channel counts and block depths differ.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from isbfsar_tpu.configs import CameraIntrinsics, HPEConfig
+from isbfsar_tpu.hpe.estimator import HumanPoseEstimator
+from isbfsar_tpu.models.effnetv2 import V2_TINY, EfficientNetV2, MetrabsHead
+from isbfsar_tpu.models.yolov4 import YOLOv4
+
+TEST_HPE = HPEConfig(yolo_input_size=128, crop_size=256)
+
+
+@pytest.fixture(scope="module")
+def estimator():
+    return HumanPoseEstimator(
+        dataclasses.replace(TEST_HPE, yolo_thresh=0.0),
+        CameraIntrinsics(),
+        backbone_stages=V2_TINY,
+        frame_shape=(120, 160),
+        yolo_width=0.25,
+    )
+
+
+class TestYolo:
+    def test_output_contract(self, rng):
+        model = YOLOv4(width=0.25, dtype=jnp.float32)
+        x = jnp.asarray(rng.uniform(0, 1, (1, 128, 128, 3)), jnp.float32)
+        params = model.init(jax.random.key(0), x)
+        boxes, confs = model.apply(params, x)
+        n = 3 * (16**2 + 8**2 + 4**2)  # anchors x cells at 128px
+        assert boxes.shape == (1, n, 1, 4)
+        assert confs.shape == (1, n, 80)
+        assert np.asarray(confs).min() >= 0.0 and np.asarray(confs).max() <= 1.0
+        b = np.asarray(boxes)[:, :, 0]
+        assert np.all(b[..., 2] >= b[..., 0]) and np.all(b[..., 3] >= b[..., 1])
+
+    def test_anchor_count_at_256(self):
+        # the reference engine contract: 4032 anchors at 256px (hpe.py:60)
+        assert 3 * (32**2 + 16**2 + 8**2) == 4032
+
+
+class TestBackbone:
+    def test_effnet_grid_shape(self, rng):
+        model = EfficientNetV2(stages=V2_TINY, head_filters=64, dtype=jnp.float32)
+        x = jnp.asarray(rng.uniform(0, 1, (2, 256, 256, 3)), jnp.float32)
+        params = model.init(jax.random.key(0), x)
+        feats = model.apply(params, x)
+        assert feats.shape == (2, 8, 8, 64)  # stride-32 trunk -> 8x8 grid
+
+    def test_head_shape(self, rng):
+        head = MetrabsHead()
+        x = jnp.asarray(rng.normal(size=(1, 8, 8, 64)), jnp.float32)
+        params = head.init(jax.random.key(0), x)
+        out = head.apply(params, x)
+        assert out.shape == (1, 8, 8, 288)
+
+
+class TestPipeline:
+    def test_estimate_contract(self, estimator, rng):
+        frame = rng.integers(0, 255, (120, 160, 3)).astype(np.uint8)
+        res = estimator.estimate(frame)
+        # thresh=0 guarantees detection; random weights decode near the crop
+        # center so the FOV gate passes.
+        assert res is not None
+        assert res["pose"].shape == (30, 3)
+        assert res["edges"].shape == (29, 2)
+        x1, x2, y1, y2 = res["bbox"]
+        assert x2 > x1 and y2 > y1 and x1 >= 0 and y1 >= 0
+        assert np.all(np.isfinite(res["pose"]))
+
+    def test_estimate_deterministic(self, estimator, rng):
+        frame = rng.integers(0, 255, (120, 160, 3)).astype(np.uint8)
+        r1 = estimator.estimate(frame)
+        r2 = estimator.estimate(frame)
+        np.testing.assert_array_equal(r1["pose"], r2["pose"])
+        assert r1["bbox"] == r2["bbox"]
+
+    def test_none_when_below_threshold(self, estimator, rng):
+        # Same estimator, but a threshold no random-weight conf can reach.
+        strict = HumanPoseEstimator(
+            dataclasses.replace(TEST_HPE, yolo_thresh=1.1),
+            CameraIntrinsics(),
+            params=estimator.params,
+            backbone_stages=V2_TINY,
+            frame_shape=(120, 160),
+            yolo_width=0.25,
+        )
+        frame = rng.integers(0, 255, (120, 160, 3)).astype(np.uint8)
+        assert strict.estimate(frame) is None
+
+    def test_just_box_mode(self, estimator, rng):
+        boxer = HumanPoseEstimator(
+            dataclasses.replace(TEST_HPE, yolo_thresh=0.0),
+            CameraIntrinsics(),
+            params=estimator.params,
+            backbone_stages=V2_TINY,
+            frame_shape=(120, 160),
+            just_box=True,
+            yolo_width=0.25,
+        )
+        frame = rng.integers(0, 255, (120, 160, 3)).astype(np.uint8)
+        res = boxer.estimate(frame)
+        assert set(res.keys()) == {"bbox"}
+        x1, y1, x2, y2 = res["bbox"]
+        assert x2 > x1 and y2 > y1
