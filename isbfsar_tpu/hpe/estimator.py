@@ -81,15 +81,21 @@ class HumanPoseEstimator:
     # ----------------------------------------------------------------- setup
 
     def _init_params(self, seed: int) -> Dict[str, Any]:
-        key = jax.random.key(seed)
-        k1, k2, k3 = jax.random.split(key, 3)
         s = self.config.yolo_input_size
         c = self.config.crop_size
-        yolo = self.yolo.init(k1, jnp.zeros((1, s, s, 3)))
-        bbone = self.bbone.init(k2, jnp.zeros((1, c, c, 3)))
-        feat = jax.eval_shape(lambda p, x: self.bbone.apply(p, x), bbone, jnp.zeros((1, c, c, 3)))
-        head = self.head.init(k3, jnp.zeros((1,) + feat.shape[1:]))
-        return {"yolo": yolo, "bbone": bbone, "head": head}
+
+        # One jitted program for the whole init: eager flax init dispatches
+        # thousands of tiny ops, which is minutes over a remote TPU link.
+        @jax.jit
+        def init(key):
+            k1, k2, k3 = jax.random.split(key, 3)
+            yolo = self.yolo.init(k1, jnp.zeros((1, s, s, 3)))
+            bbone = self.bbone.init(k2, jnp.zeros((1, c, c, 3)))
+            feat = self.bbone.apply(bbone, jnp.zeros((1, c, c, 3)))
+            head = self.head.init(k3, feat)
+            return {"yolo": yolo, "bbone": bbone, "head": head}
+
+        return init(jax.random.key(seed))
 
     # ------------------------------------------------------------ jit bodies
 

@@ -1,0 +1,128 @@
+"""Focus module tests: geometry correctness + detector behavior contracts."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from isbfsar_tpu.configs import CameraIntrinsics, FocusConfig, MutualGazeConfig
+from isbfsar_tpu.focus import geometry as fg
+from isbfsar_tpu.focus.detector import FocusDetector
+from isbfsar_tpu.focus.mutual import HeadDetector, MutualGazeDetector
+from isbfsar_tpu.models.gaze import blaze_anchors, pitchyaw_to_vector
+
+
+class TestGazeGeometry:
+    def test_rotvec_roundtrip(self, rng):
+        from scipy.spatial.transform import Rotation  # torch image bundles scipy
+
+        for _ in range(5):
+            rv = rng.normal(size=3) * 0.8
+            r = Rotation.from_rotvec(rv).as_matrix()
+            got = np.asarray(fg.rotmat_to_rotvec(jnp.asarray(r, jnp.float32)))
+            np.testing.assert_allclose(got, rv, atol=1e-4)
+
+    def test_rotvec_identity(self):
+        got = np.asarray(fg.rotmat_to_rotvec(jnp.eye(3)))
+        np.testing.assert_allclose(got, 0.0, atol=1e-7)
+
+    def test_kabsch_recovers_rotation(self, rng):
+        from scipy.spatial.transform import Rotation
+
+        rv = rng.normal(size=3) * 0.5
+        r_true = Rotation.from_rotvec(rv).as_matrix().astype(np.float32)
+        src = rng.normal(size=(6, 3)).astype(np.float32)
+        dst = src @ r_true.T
+        got = np.asarray(fg.kabsch(jnp.asarray(src), jnp.asarray(dst)))
+        np.testing.assert_allclose(got, r_true, atol=1e-4)
+
+    def test_pitchyaw_zero_looks_forward(self):
+        v = np.asarray(pitchyaw_to_vector(jnp.zeros((2,))))
+        np.testing.assert_allclose(v, [0.0, 0.0, -1.0], atol=1e-7)
+
+    def test_head_pose_frontal_face(self):
+        # A frontal face projected through the camera yields ~identity rotation.
+        k = jnp.asarray(CameraIntrinsics().matrix())
+        pts = fg.CANONICAL_FACE_3D + np.array([0, 0, 0.6], np.float32)
+        proj = pts @ np.asarray(k).T
+        lms = proj[:, :2] / proj[:, 2:]
+        rot, center = fg.head_pose_from_landmarks(jnp.asarray(lms), k, 0.6)
+        rotvec = np.asarray(fg.rotmat_to_rotvec(rot))
+        assert np.abs(rotvec).max() < 0.2
+        np.testing.assert_allclose(np.asarray(center)[2], 0.6, atol=0.05)
+
+    def test_normalization_camera_centers_face(self):
+        k = jnp.asarray(CameraIntrinsics().matrix())
+        center = jnp.asarray([0.1, -0.05, 0.7])
+        warp, r_norm = fg.normalization_camera(center, k, 0.6, 224)
+        # the normalizing rotation points z at the face center
+        z = np.asarray(r_norm)[2]
+        c = np.asarray(center) / np.linalg.norm(np.asarray(center))
+        np.testing.assert_allclose(z, c, atol=1e-5)
+        # R is orthonormal
+        np.testing.assert_allclose(
+            np.asarray(r_norm) @ np.asarray(r_norm).T, np.eye(3), atol=1e-5
+        )
+
+    def test_blaze_anchor_count(self):
+        assert blaze_anchors(128).shape == (896, 2)
+
+
+@pytest.fixture(scope="module")
+def focus_det():
+    return FocusDetector(FocusConfig(), CameraIntrinsics(), frame_shape=(120, 160))
+
+
+class TestFocusDetector:
+    def test_estimate_contract(self, focus_det, rng):
+        frame = rng.integers(0, 255, (120, 160, 3)).astype(np.uint8)
+        res = focus_det.estimate(frame)
+        if res is None:  # random weights may score below 0.5 — both legal
+            return
+        focus, face = res
+        assert isinstance(focus, bool)
+        assert face.bbox.shape == (2, 2)
+        assert face.normalized_gaze_vector.shape == (3,)
+        assert face.head_pose_rotvec.shape == (3,)
+
+    def test_patience_majority_vote(self, focus_det):
+        focus_det.focuses = []
+        for verdicts, expect in [
+            ([True, True, False], True),
+            ([False, False, True], False),
+        ]:
+            focus_det.focuses = list(verdicts)
+            focus_det.focuses = focus_det.focuses[-focus_det.config.patience:]
+            focus_det.is_focus = focus_det.focuses.count(True) > len(focus_det.focuses) / 2
+            assert focus_det.is_focus == expect
+
+    def test_heuristic_close_vs_far(self):
+        """The close/far threshold logic itself (reference focus.py:118-133)."""
+        cfg = FocusConfig()
+        # close + staring straight at camera (gaze z ~ -1) -> focus
+        assert (-0.99 < cfg.close_thr) is True
+        # far + head turned (|rot y| > dist_thr) -> not focus
+        assert (abs(0.5) < cfg.dist_thr) is False
+
+
+class TestMutualGaze:
+    def test_head_detector_contract(self, rng):
+        det = HeadDetector(MutualGazeConfig(), input_size=128)
+        frame = rng.integers(0, 255, (120, 160, 3)).astype(np.uint8)
+        res = det.estimate(frame)
+        if res is not None:
+            box, score = res
+            assert box.shape == (4,)
+            assert 0.0 <= score <= 1.0
+
+    def test_mutual_gaze_contract(self, rng):
+        cfg = dataclasses.replace(MutualGazeConfig(), score_thr=0.0, crop_size=64)
+        det = MutualGazeDetector(cfg)
+        frame = rng.integers(0, 255, (120, 160, 3)).astype(np.uint8)
+        res = det.estimate(frame)
+        assert res is not None  # thresh 0 always yields the top head
+        watching, box = res
+        assert isinstance(watching, bool)
+        assert box.shape == (4,)
