@@ -137,10 +137,13 @@ class FocusDetector:
 
     # ----------------------------------------------------------- public API
 
-    def estimate(self, frame: np.ndarray, return_image: bool = False):
-        """Returns (focus bool, Face) or None when no face (reference focus.py:105-140)."""
+    def estimate_async(self, frame):
+        """Dispatch the fused face/pose/gaze program without blocking."""
+        return self._forward(self.params, jnp.asarray(frame))
+
+    def estimate_collect(self, out, return_image: bool = False):
+        """Block on a dispatched program, apply the close/far heuristic."""
         cfg = self.config
-        out = self._forward(self.params, jnp.asarray(frame))
         if not bool(out["found"]):
             return None
 
@@ -174,6 +177,10 @@ class FocusDetector:
         self.is_focus = self.focuses.count(True) > len(self.focuses) / 2
 
         return focus, face
+
+    def estimate(self, frame: np.ndarray, return_image: bool = False):
+        """Returns (focus bool, Face) or None when no face (reference focus.py:105-140)."""
+        return self.estimate_collect(self.estimate_async(frame), return_image)
 
     def warmup(self, n: int = 2) -> None:
         dummy = jnp.zeros(self.frame_shape + (3,), jnp.uint8)

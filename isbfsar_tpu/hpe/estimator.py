@@ -153,17 +153,28 @@ class HumanPoseEstimator:
 
     # ------------------------------------------------------------ public API
 
-    def estimate(self, frame: np.ndarray) -> Optional[Dict[str, Any]]:
-        """frame: (H, W, 3) BGR uint8. Returns the reference's dict contract."""
+    def estimate_async(self, frame) -> Any:
+        """Dispatch the fused program without blocking (JAX async dispatch).
+
+        Replaces the reference's subprocess fan-out (main.py:73-74): the
+        orchestrator dispatches HPE and focus back-to-back, then collects —
+        same overlap contract, no process boundary.
+        """
         frame = jnp.asarray(frame)
         if self.just_box:
-            bbox, conf, found = self._box_jit(self.params, frame)
+            return ("box", self._box_jit(self.params, frame))
+        return ("full", self._estimate_jit(self.params, frame))
+
+    def estimate_collect(self, token) -> Optional[Dict[str, Any]]:
+        """Block on a dispatched program and decode the dict/None contract."""
+        kind, raw = token
+        if kind == "box":
+            bbox, conf, found = raw
             if not bool(found):
                 return None
             x1, y1, x2, y2 = np.asarray(bbox)
             return {"bbox": (int(x1), int(y1), int(x2), int(y2))}
-
-        pose, bbox, conf, found, visible = self._estimate_jit(self.params, frame)
+        pose, bbox, conf, found, visible = raw
         if not bool(found) or not bool(visible):
             return None
         x1, x2, y1, y2 = (int(v) for v in np.asarray(bbox))
@@ -172,6 +183,10 @@ class HumanPoseEstimator:
             "edges": self.edges,
             "bbox": (x1, x2, y1, y2),
         }
+
+    def estimate(self, frame: np.ndarray) -> Optional[Dict[str, Any]]:
+        """frame: (H, W, 3) BGR uint8. Returns the reference's dict contract."""
+        return self.estimate_collect(self.estimate_async(frame))
 
     def warmup(self, n: int = 2) -> None:
         """Compile + prime the programs (reference tensorrt_runner.py:60-62)."""

@@ -1,0 +1,44 @@
+"""Compute-side service entry point (the reference's main.py role).
+
+Run the queue hub, then this service, then a source:
+
+    python -m isbfsar_tpu.runtime.ipc            # host or anywhere (broker)
+    python -m isbfsar_tpu.runtime.serve          # owns the TPU
+    python -m isbfsar_tpu.runtime.source_cli     # host with the camera
+
+Topology preserved from the reference (README.md:20-25): source (camera+UI)
+<-> hub (TCP queues) <-> this process (all compute).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from isbfsar_tpu.configs import PipelineConfig
+from isbfsar_tpu.runtime.ipc import QueueClient
+from isbfsar_tpu.runtime.orchestrator import Orchestrator
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--hub", default="localhost")
+    parser.add_argument("--input-type", default="skeleton",
+                        choices=["skeleton", "rgb", "hybrid"])
+    parser.add_argument("--save-dir", default="saved")
+    args = parser.parse_args()
+
+    client = QueueClient(args.hub)
+    in_q = client.get_queue("source_human")
+    out_q = client.get_queue("human_sink")
+
+    config = PipelineConfig.for_input(args.input_type)
+    orch = Orchestrator(config, in_queue=in_q, out_queue=out_q, save_dir=args.save_dir)
+    print("[isbfsar-tpu] warming up device programs...")
+    orch.hpe.warmup()
+    orch.focus.warmup()
+    print("[isbfsar-tpu] serving")
+    orch.run()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,198 @@
+"""Runtime layer tests: orchestrator loop, command protocol, IPC hub."""
+
+import dataclasses
+import queue
+
+import numpy as np
+import pytest
+
+from isbfsar_tpu.configs import (
+    ARConfig,
+    CameraIntrinsics,
+    FocusConfig,
+    HPEConfig,
+    MainConfig,
+    PipelineConfig,
+)
+from isbfsar_tpu.ar.recognizer import ActionRecognizer
+from isbfsar_tpu.focus.detector import FocusDetector
+from isbfsar_tpu.hpe.estimator import HumanPoseEstimator
+from isbfsar_tpu.models.effnetv2 import V2_TINY
+from isbfsar_tpu.runtime.orchestrator import Orchestrator
+from isbfsar_tpu.runtime.source import SyntheticSource
+from isbfsar_tpu.runtime.visualizer import ConsoleVisualizer, score_bar
+
+FRAME_SHAPE = (120, 160)
+
+
+class FakeClock:
+    """Deterministic clock: each call advances 0.25 s."""
+
+    def __init__(self):
+        self.t = 0.0
+
+    def __call__(self):
+        self.t += 0.25
+        return self.t
+
+
+class AutoFrameQueue:
+    """In-queue stub: always hands out a fresh synthetic frame dict."""
+
+    def __init__(self):
+        self.src = SyntheticSource(FRAME_SHAPE[1], FRAME_SHAPE[0])
+
+    def get(self):
+        return {"rgb": self.src.read()[1], "msg": ""}
+
+
+class Collector:
+    def __init__(self):
+        self.items = []
+
+    def put(self, x):
+        self.items.append(x)
+
+
+@pytest.fixture(scope="module")
+def orchestrator():
+    hpe_cfg = HPEConfig(yolo_input_size=128, crop_size=256, yolo_thresh=0.0)
+    intr = CameraIntrinsics(width=FRAME_SHAPE[1], height=FRAME_SHAPE[0])
+    hpe = HumanPoseEstimator(
+        hpe_cfg, intr, backbone_stages=V2_TINY, frame_shape=FRAME_SHAPE, yolo_width=0.25
+    )
+    focus = FocusDetector(FocusConfig(), intr, frame_shape=FRAME_SHAPE)
+    ar = ActionRecognizer(ARConfig.for_input("skeleton"))
+    cfg = PipelineConfig(
+        main=MainConfig.for_input("skeleton"), hpe=hpe_cfg, ar=ar.config
+    )
+    return Orchestrator(
+        cfg,
+        in_queue=AutoFrameQueue(),
+        out_queue=Collector(),
+        hpe=hpe,
+        focus=focus,
+        ar=ar,
+        clock=FakeClock(),
+    )
+
+
+class TestOrchestrator:
+    def test_get_frame_elements_contract(self, orchestrator):
+        src = SyntheticSource(FRAME_SHAPE[1], FRAME_SHAPE[0])
+        elements = orchestrator.get_frame(img=src.read()[1], log="hello")
+        assert "img" in elements and "fps" in elements
+        assert elements["log"] == "hello"
+        assert "pose" in elements  # thresh=0 slim hpe always finds someone
+        assert elements["pose"].shape == (30, 3)
+        np.testing.assert_allclose(elements["pose"][0], 0.0, atol=1e-6)  # root-relative
+        assert "distance" in elements
+        assert elements["actions"] == {}  # empty support set
+        # the out queue got the same dict
+        assert orchestrator._out_queue.items[-1] is elements
+
+    def test_learn_then_recognize_and_forget(self, orchestrator):
+        log = orchestrator.learn_command(["wave", "-focus"])
+        assert "learned successfully" in log
+        assert orchestrator.ar.n_classes == 1
+        assert orchestrator.ar.requires_focus == {"wave": True}
+
+        # window fills with seq_len frames, then actions appear
+        src = SyntheticSource(FRAME_SHAPE[1], FRAME_SHAPE[0])
+        for _ in range(orchestrator.config.ar.seq_len + 1):
+            elements = orchestrator.get_frame(img=src.read()[1])
+        assert "wave" in elements["actions"]
+
+        assert orchestrator.forget_command("wave") == "Action wave removed"
+        assert "not in the support set" in orchestrator.forget_command("wave")
+
+    def test_save_load_roundtrip(self, orchestrator, tmp_path):
+        orchestrator.save_dir = str(tmp_path)
+        orchestrator.learn_command(["point"])
+        assert "saved successfully" in orchestrator.save()
+        orchestrator.forget_command("point")
+        assert orchestrator.ar.n_classes == 0
+        assert orchestrator.load() == "Loaded 1 classes"
+        assert orchestrator.ar.n_classes == 1
+        orchestrator.forget_command("point")
+
+    def test_debug_summary(self, orchestrator):
+        info = orchestrator.debug()
+        assert set(info.keys()) == {"classes", "requires_focus", "support_data", "mask"}
+
+    def test_run_loop_commands(self, orchestrator):
+        class ScriptedQueue:
+            def __init__(self, msgs):
+                self.src = SyntheticSource(FRAME_SHAPE[1], FRAME_SHAPE[0])
+                self.msgs = list(msgs)
+
+            def get(self):
+                msg = self.msgs.pop(0) if self.msgs else "quit"
+                return {"rgb": self.src.read()[1], "msg": msg}
+
+        orchestrator._in_queue = ScriptedQueue(["", "bogus cmd", "remove nothere", "quit"])
+        out = Collector()
+        orchestrator._out_queue = out
+        orchestrator.run()  # terminates on 'quit'
+        logs = [e.get("log") for e in out.items if isinstance(e, dict) and e.get("log")]
+        assert "Not a valid command!" in logs
+        assert any("not in the support set" in (l or "") for l in logs)
+        orchestrator._in_queue = AutoFrameQueue()
+
+
+class TestIPC:
+    def test_hub_roundtrip(self):
+        from isbfsar_tpu.runtime.ipc import QueueClient, QueueHub
+
+        hub = QueueHub(("127.0.0.1", 0)).start_background()
+        addr = hub._server.address
+        client = QueueClient(addr[0], addr[1])
+        q1 = client.get_queue("source_human")
+        q2 = client.get_queue("source_human")
+        q1.put({"rgb": 1, "msg": "hi"})
+        assert q2.get() == {"rgb": 1, "msg": "hi"}
+
+    def test_capacity_one_backpressure(self):
+        from isbfsar_tpu.runtime.ipc import QueueClient, QueueHub
+
+        hub = QueueHub(("127.0.0.1", 0)).start_background()
+        addr = hub._server.address
+        q = QueueClient(addr[0], addr[1]).get_queue("bp")
+        q.put(1)
+        with pytest.raises(queue.Full):
+            q.put(2, False)  # capacity-1: second put must fail
+        assert q.get() == 1
+
+
+class TestVisualizer:
+    def test_score_bar(self):
+        assert score_bar(0.5, 10) == "#####-----"
+        assert score_bar(-1.0, 4) == "----"
+        assert score_bar(2.0, 4) == "####"
+
+    def test_console_show(self, capsys):
+        viz = ConsoleVisualizer()
+        viz.show(
+            {
+                "fps": 31.2,
+                "distance": 1.5,
+                "focus": True,
+                "is_true": 0.8,
+                "actions": {"wave": 0.9},
+                "requires_focus": {"wave": True},
+                "log": "ok",
+            }
+        )
+        out = capsys.readouterr().out
+        assert "wave" in out and "fps" in out and "focus YES" in out and "ok" in out
+
+    def test_mpl_pose_printer(self, tmp_path, rng):
+        from isbfsar_tpu.runtime.visualizer import MPLPosePrinter
+        from isbfsar_tpu.utils.skeleton import get_skeleton
+
+        viz = MPLPosePrinter(interactive=False)
+        pose = rng.normal(size=(30, 3))
+        viz.print_pose(pose, get_skeleton("smpl+head_30").edges)
+        viz.save(str(tmp_path / "pose.png"))
+        viz.clear()
+        assert (tmp_path / "pose.png").exists()
