@@ -1,0 +1,237 @@
+"""Episodic trainer for the TRX-OS recognizer (data-parallel over a mesh).
+
+Behavioral rebuild of the reference training loop (reference
+modules/ar/utils/train.py:27-220):
+
+- loss = CE(few-shot logits) + BCE(discriminator, known episodes) +
+  BCE(discriminator, unknown episodes) with the reference's gating: the
+  discriminator trains only on episodes the few-shot head got right
+  (train.py:135-141), the unknown term uses as many samples as the known
+  term (train.py:158-171 — here per-sample pairing instead of prefix
+  selection: sample i's unknown episode counts iff sample i's known episode
+  was correct; same counts, static shapes)
+- SGD + piecewise-constant LR (MultiStepLR equivalent), gradient
+  accumulation via optax.MultiSteps (optimize_every, train.py:184-193)
+- every ``eval_every_n_epoch``-th epoch swaps to the validation sampler and
+  skips optimization (the reference's loader-swap quirk, train.py:103-107)
+- per-epoch checkpoint {epoch, params, opt_state} (train.py:213-217)
+- metrics: fs/os loss + acc + P/R/F1 (train.py:199-211) to JSONL/wandb
+
+TPU design: one jit'd train step; the episode batch is sharded over the
+``dp`` mesh axis and parameters are replicated — XLA inserts the gradient
+all-reduce over ICI (the reference's DataParallel scatter/gather,
+model.py:360-369, disappears into SPMD). A second apply for the unknown
+episode reuses the already-extracted support features (identical math,
+half the extractor work).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Dict, Iterable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from isbfsar_tpu.configs import ARConfig
+from isbfsar_tpu.models.trx import TRXOS
+from isbfsar_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from isbfsar_tpu.utils import checkpoint as ckpt
+from isbfsar_tpu.utils.metrics import MetricsLogger, binary_prf
+
+MODALITY_KEYS = {"skeleton": ("sk",), "rgb": ("rgb",), "hybrid": ("rgb", "sk")}
+
+
+def _bce(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    pred = jnp.clip(pred, 1e-7, 1.0 - 1e-7)
+    return -(target * jnp.log(pred) + (1.0 - target) * jnp.log(1.0 - pred))
+
+
+def make_loss_fn(model: TRXOS, cfg: ARConfig):
+    def loss_fn(params, batch, disc_on: bool):
+        b = batch["target_class"].shape[0]
+        mask = jnp.ones((b, cfg.way), bool)
+
+        out = model.apply(params, batch["target_set"], mask, support_data=batch["support_set"])
+        logits = out["logits"]
+        target = (batch["support_classes"] == batch["target_class"][:, None]).astype(jnp.float32)
+
+        fs_loss = jnp.mean(
+            -jnp.sum(target * jax.nn.log_softmax(logits, axis=-1), axis=-1)
+        )
+        fs_correct = jnp.argmax(logits, 1) == jnp.argmax(target, 1)
+        metrics: Dict[str, Any] = {
+            "fs_loss": fs_loss,
+            "fs_correct": fs_correct,
+        }
+        total = fs_loss
+
+        if disc_on:
+            w = fs_correct.astype(jnp.float32)  # train disc only where FS was right
+            n = jnp.maximum(jnp.sum(w), 1.0)
+
+            known_pred = out["is_true"][:, 0]
+            known_os = jnp.sum(_bce(known_pred, jnp.ones_like(known_pred)) * w) / n
+
+            out_u = model.apply(
+                params, batch["unknown_set"], mask, support_features=out["support_features"]
+            )
+            unk_pred = out_u["is_true"][:, 0]
+            unknown_os = jnp.sum(_bce(unk_pred, jnp.zeros_like(unk_pred)) * w) / n
+
+            any_correct = jnp.sum(w) > 0
+            total = total + jnp.where(any_correct, known_os + unknown_os, 0.0)
+            metrics.update(
+                os_loss=jnp.where(any_correct, 0.5 * (known_os + unknown_os), 0.0),
+                os_weights=w,
+                os_known_pred=known_pred,
+                os_unknown_pred=unk_pred,
+            )
+        return total, metrics
+
+    return loss_fn
+
+
+class Trainer:
+    def __init__(
+        self,
+        config: ARConfig,
+        train_sampler=None,
+        valid_sampler=None,
+        mesh=None,
+        log_dir: str = "runs/trx",
+        seed: int = 0,
+        use_wandb: bool = True,
+    ):
+        self.cfg = config
+        self.model = TRXOS(config)
+        self.train_sampler = train_sampler
+        self.valid_sampler = valid_sampler
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.logger = MetricsLogger(log_dir, use_wandb=use_wandb)
+        self.ckpt_dir = config.checkpoint_dir or f"{log_dir}/checkpoints"
+
+        self.params = self._init_params(seed)
+        self.params = replicate(self.params, self.mesh)
+
+        steps_per_epoch = max(1, (config.n_task // config.batch_size))
+        schedule = optax.piecewise_constant_schedule(
+            config.initial_lr,
+            {
+                config.first_milestone * steps_per_epoch: 0.1,
+                config.second_milestone * steps_per_epoch: 0.1,
+            },
+        )
+        self.optimizer = optax.MultiSteps(
+            optax.sgd(schedule), every_k_schedule=max(1, config.optimize_every)
+        )
+        self.opt_state = replicate(self.optimizer.init(self.params), self.mesh)
+
+        loss_fn = make_loss_fn(self.model, config)
+
+        def train_step(params, opt_state, batch, disc_on):
+            (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch, disc_on
+            )
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, metrics
+
+        def eval_step(params, batch, disc_on):
+            _, metrics = loss_fn(params, batch, disc_on)
+            return metrics
+
+        self._train_step = jax.jit(train_step, static_argnames="disc_on", donate_argnums=(0, 1))
+        self._eval_step = jax.jit(eval_step, static_argnames="disc_on")
+
+    def _init_params(self, seed: int):
+        cfg = self.cfg
+        shapes = {"sk": (cfg.n_joints * 3,), "rgb": (224, 224, 3)}
+        keys = MODALITY_KEYS[cfg.input_type]
+        q = {m: jnp.zeros((1, cfg.seq_len) + shapes[m]) for m in keys}
+        s = {m: jnp.zeros((1, cfg.way, cfg.seq_len) + shapes[m]) for m in keys}
+
+        @jax.jit
+        def init(key):
+            return self.model.init(key, q, jnp.ones((1, cfg.way), bool), support_data=s)
+
+        return init(jax.random.key(seed))
+
+    # ----------------------------------------------------------------- loop
+
+    def run_epoch(self, epoch: int, batches: Iterable[Dict], train: bool) -> Dict[str, float]:
+        disc_on = epoch > self.cfg.start_discriminator_after_epoch - 1
+        fs_losses: List[float] = []
+        fs_correct: List[np.ndarray] = []
+        os_losses: List[float] = []
+        os_true: List[np.ndarray] = []
+        os_pred: List[np.ndarray] = []
+
+        for batch in batches:
+            batch = self._prepare(batch)
+            if train:
+                self.params, self.opt_state, metrics = self._train_step(
+                    self.params, self.opt_state, batch, disc_on
+                )
+            else:
+                metrics = self._eval_step(self.params, batch, disc_on)
+
+            fs_losses.append(float(metrics["fs_loss"]))
+            fs_correct.append(np.asarray(metrics["fs_correct"]))
+            if disc_on:
+                os_losses.append(float(metrics["os_loss"]))
+                w = np.asarray(metrics["os_weights"]) > 0
+                os_true.append(np.ones(int(w.sum())))
+                os_pred.append((np.asarray(metrics["os_known_pred"])[w] > 0.5).astype(float))
+                os_true.append(np.zeros(int(w.sum())))
+                os_pred.append((np.asarray(metrics["os_unknown_pred"])[w] > 0.5).astype(float))
+
+        os_true_all = np.concatenate(os_true) if os_true else np.zeros(1)
+        os_pred_all = np.concatenate(os_pred) if os_pred else np.zeros(1)
+        prf = binary_prf(os_true_all, os_pred_all)
+        label = "train" if train else "valid"
+        summary = {
+            f"{label}/fs_loss": float(np.mean(fs_losses)) if fs_losses else 0.0,
+            f"{label}/fs_accuracy": float(np.concatenate(fs_correct).mean()) if fs_correct else 0.0,
+            f"{label}/os_loss": float(np.mean(os_losses)) if os_losses else 0.0,
+            f"{label}/os_accuracy": prf["accuracy"],
+            f"{label}/os_precision": prf["precision"],
+            f"{label}/os_recall": prf["recall"],
+            f"{label}/os_f1": prf["f1"],
+        }
+        self.logger.log(summary, step=epoch)
+        return summary
+
+    def _prepare(self, batch: Dict) -> Dict:
+        keep = {
+            "support_set": batch["support_set"],
+            "target_set": batch["target_set"],
+            "unknown_set": batch.get("unknown_set", batch["target_set"]),
+            "support_classes": np.asarray(batch["support_classes"], np.int32),
+            "target_class": np.asarray(batch["target_class"], np.int32),
+        }
+        return shard_batch(keep, self.mesh)
+
+    def fit(self, n_epochs: Optional[int] = None, batches_fn=None) -> Dict[str, float]:
+        """batches_fn(sampler, epoch) -> iterable of batches (injectable for tests)."""
+        from isbfsar_tpu.train.dataloader import batch_iterator
+
+        cfg = self.cfg
+        n_epochs = n_epochs or cfg.n_epochs
+        batches_fn = batches_fn or (
+            lambda sampler, epoch: batch_iterator(sampler, cfg.batch_size, seed=epoch)
+        )
+        last = {}
+        for epoch in range(n_epochs):
+            do_eval = epoch % cfg.eval_every_n_epoch == 0 and self.valid_sampler is not None
+            sampler = self.valid_sampler if do_eval else self.train_sampler
+            last = self.run_epoch(epoch, batches_fn(sampler, epoch), train=not do_eval)
+            if not do_eval:
+                ckpt.save_checkpoint(
+                    self.ckpt_dir, epoch, {"params": self.params, "opt_state": self.opt_state},
+                    meta={"epoch": epoch},
+                )
+        return last

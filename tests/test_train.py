@@ -1,0 +1,267 @@
+"""Training stack tests: data pipeline, DP trainer, FSOS protocol, checkpoints."""
+
+import dataclasses
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from isbfsar_tpu.configs import ARConfig
+from isbfsar_tpu.models.trx import TRXOS
+from isbfsar_tpu.parallel.mesh import make_mesh
+from isbfsar_tpu.train.dataloader import EpisodicSampler, batch_iterator
+from isbfsar_tpu.train.fsos import evaluate_fsos, summarize
+from isbfsar_tpu.train.synthetic import generate_dataset
+from isbfsar_tpu.train.trainer import Trainer
+from isbfsar_tpu.utils import checkpoint as ckpt
+
+CFG = dataclasses.replace(
+    ARConfig.for_input("skeleton"),
+    n_task=32,
+    batch_size=8,
+    eval_every_n_epoch=1000,  # keep every epoch a train epoch in tests
+)
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("synth"))
+    names = generate_dataset(root, n_classes=8, clips_per_class=3, n_frames=16)
+    return root, names
+
+
+class TestDataPipeline:
+    def test_episode_structure(self, dataset):
+        root, names = dataset
+        sampler = EpisodicSampler(root, k=5, n_task=4, max_l=16, l=16, seed=0)
+        ep = sampler[0]
+        assert ep["support_set"]["sk"].shape == (5, 16, 90)
+        assert ep["target_set"]["sk"].shape == (16, 90)
+        assert ep["unknown_set"]["sk"].shape == (16, 90)
+        assert ep["known"] is True  # target drawn from support classes
+        assert ep["unknown_class"] not in ep["support_classes"]
+        assert ep["target_class"] in ep["support_classes"]
+
+    def test_stride_subsampling(self, dataset):
+        root, _ = dataset
+        sampler = EpisodicSampler(root, k=5, n_task=2, max_l=16, l=8, seed=0)
+        ep = sampler[0]
+        assert ep["target_set"]["sk"].shape == (8, 90)  # 16 -> 8 via stride 2
+
+    def test_batch_iterator_shapes(self, dataset):
+        root, _ = dataset
+        sampler = EpisodicSampler(root, k=5, n_task=8, max_l=16, l=16, seed=0)
+        batches = list(batch_iterator(sampler, 4, num_threads=2))
+        assert len(batches) == 2
+        b = batches[0]
+        assert b["support_set"]["sk"].shape == (4, 5, 16, 90)
+        assert b["target_set"]["sk"].shape == (4, 16, 90)
+        assert b["support_classes"].shape == (4, 5)
+
+    def test_corrupt_clip_fallback(self, dataset, tmp_path):
+        root, _ = dataset
+        sampler = EpisodicSampler(root, k=5, n_task=2, max_l=16, l=16, seed=0)
+        _ = sampler[0]  # populate default_sample
+        missing = str(tmp_path / "nope")
+        sample = sampler.get_sample("whatever", path=missing)
+        assert sample is sampler.default_sample
+
+
+class TestTrainer:
+    def test_loss_decreases_on_synthetic(self, dataset, tmp_path):
+        root, _ = dataset
+        mesh = make_mesh(8)
+        train_sampler = EpisodicSampler(root, k=5, n_task=CFG.n_task, max_l=16, l=16, seed=1)
+        cfg = dataclasses.replace(CFG, checkpoint_dir=str(tmp_path / "ckpts"))
+        trainer = Trainer(
+            cfg, train_sampler, valid_sampler=None,
+            mesh=mesh, log_dir=str(tmp_path / "run"), use_wandb=False,
+        )
+        first = trainer.run_epoch(0, batch_iterator(train_sampler, 8, seed=0), train=True)
+        for e in range(1, 5):
+            last = trainer.run_epoch(e, batch_iterator(train_sampler, 8, seed=e), train=True)
+        assert last["train/fs_loss"] < first["train/fs_loss"]
+        assert last["train/fs_accuracy"] >= first["train/fs_accuracy"]
+        # metrics file written
+        assert os.path.exists(tmp_path / "run" / "metrics.jsonl")
+
+    def test_fit_saves_checkpoints_and_evals(self, dataset, tmp_path):
+        root, _ = dataset
+        sampler = EpisodicSampler(root, k=5, n_task=8, max_l=16, l=16, seed=2)
+        cfg = dataclasses.replace(
+            CFG, n_task=8, eval_every_n_epoch=2, checkpoint_dir=str(tmp_path / "c")
+        )
+        trainer = Trainer(
+            cfg, sampler, valid_sampler=sampler,
+            mesh=make_mesh(8), log_dir=str(tmp_path / "r"), use_wandb=False,
+        )
+        trainer.fit(n_epochs=2)  # epoch 0: eval (reference quirk), epoch 1: train
+        assert ckpt.latest_checkpoint(str(tmp_path / "c")) is not None
+
+
+class TestFSOS:
+    def test_protocol_runs(self, dataset):
+        root, names = dataset
+        cfg = CFG
+        model = TRXOS(cfg)
+        import jax
+
+        q = {"sk": jnp.zeros((1, cfg.seq_len, 90))}
+        s = {"sk": jnp.zeros((1, cfg.way, cfg.seq_len, 90))}
+        params = model.init(jax.random.key(0), q, jnp.ones((1, cfg.way), bool), support_data=s)
+
+        results = evaluate_fsos(
+            cfg, params, root, root, k=5, n_repeats=2, batch_size=4,
+            n_test_classes=len(names),
+        )
+        for key in ("FSOS-ACC", "FS-ACC", "OS-ACC"):
+            assert len(results[key]) == 2
+            for v in results[key]:
+                assert -1.0 <= v <= 1.0
+        assert summarize(results)
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path, rng):
+        tree = {"a": np.asarray(rng.normal(size=(3, 4)), np.float32), "b": {"c": np.ones(2)}}
+        path = ckpt.save_checkpoint(str(tmp_path), 7, tree, meta={"note": "x"})
+        loaded = ckpt.load_checkpoint(path, tree)
+        np.testing.assert_array_equal(loaded["a"], tree["a"])
+        assert ckpt.latest_checkpoint(str(tmp_path)).endswith("7.msgpack")
+
+    def test_torch_trxos_import(self, rng):
+        import torch
+
+        from isbfsar_tpu.utils.checkpoint import import_trxos_torch
+
+        cfg = ARConfig.for_input("skeleton")
+        d = cfg.trans_linear_in_dim * 2
+
+        def lin(i, o):
+            return torch.randn(o, i), torch.randn(o)
+
+        sd = {}
+        sd["features_extractor.sk.fc1.weight"], sd["features_extractor.sk.fc1.bias"] = lin(90, 180)
+        sd["features_extractor.sk.fc2.weight"], sd["features_extractor.sk.fc2.bias"] = lin(180, 256)
+        # simulate DataParallel-prefixed keys for the transformer
+        sd["transformers.0.k_linear.module.weight"], _ = lin(d, 128)
+        sd["transformers.0.k_linear.module.bias"] = torch.randn(128)
+        sd["transformers.0.v_linear.weight"], sd["transformers.0.v_linear.bias"] = lin(d, 128)
+        sd["transformers.0.norm_k.weight"] = torch.randn(128)
+        sd["transformers.0.norm_k.bias"] = torch.randn(128)
+        sd["discriminator.dimensionality_reduction.weight"], sd[
+            "discriminator.dimensionality_reduction.bias"
+        ] = lin(128, cfg.seq_len)
+        sd["discriminator.fc1.weight"], sd["discriminator.fc1.bias"] = lin(120 * cfg.seq_len, 256)
+        sd["discriminator.fc2.weight"], sd["discriminator.fc2.bias"] = lin(256, 64)
+        sd["discriminator.fc3.weight"], sd["discriminator.fc3.bias"] = lin(64, 1)
+
+        # clean '.module' strip
+        sd = {k.replace(".k_linear.module", ".k_linear.module"): v for k, v in sd.items()}
+        imported = import_trxos_torch(sd, "skeleton")
+
+        p = imported["params"]
+        assert p["sk_extractor"]["fc1"]["kernel"].shape == (90, 180)
+        assert p["transformer"]["k_linear"]["kernel"].shape == (d, 128)
+        assert p["discriminator"]["fc1"]["kernel"].shape == (120 * cfg.seq_len, 256)
+
+        # the imported tree drives a real forward identical to the torch math
+        import jax
+
+        model = TRXOS(cfg)
+        q = {"sk": jnp.zeros((1, cfg.seq_len, 90))}
+        s = {"sk": jnp.zeros((1, cfg.way, cfg.seq_len, 90))}
+        init = model.init(jax.random.key(0), q, jnp.ones((1, cfg.way), bool), support_data=s)
+        # graft imported weights into the init tree (same structure)
+        import flax
+
+        flat_init = flax.traverse_util.flatten_dict(init["params"])
+        flat_imp = flax.traverse_util.flatten_dict(p)
+        for key, val in flat_imp.items():
+            assert key in flat_init, key
+            assert flat_init[key].shape == val.shape, key
+        merged = dict(flat_init)
+        merged.update({k: jnp.asarray(v) for k, v in flat_imp.items()})
+        params = {"params": flax.traverse_util.unflatten_dict(merged)}
+        out = model.apply(params, q, jnp.ones((1, cfg.way), bool), support_data=s)
+        assert np.isfinite(np.asarray(out["logits"])).all()
+
+    def test_resnet_import(self, rng):
+        """Torch-layout resnet18 state dict maps 1:1 onto the flax tree.
+
+        torchvision isn't in this image, so the state dict is synthesized in
+        the torchvision naming/layout convention (NCHW conv weights, running
+        stats); the import must produce exactly the flax init structure.
+        """
+        import torch
+
+        import jax
+
+        from isbfsar_tpu.models.resnet import resnet18
+        from isbfsar_tpu.utils.checkpoint import import_resnet_torch
+
+        model = resnet18(num_classes=10, dtype=jnp.float32)
+        x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)), jnp.float32)
+        init = model.init(jax.random.key(0), x)
+
+        import flax
+
+        flat_init = flax.traverse_util.flatten_dict(init["params"])
+
+        # synthesize the torch dict by inverting the naming convention
+        sd = {}
+        for key, val in flat_init.items():
+            path = list(key)
+            name = path[0] if len(path) == 1 else None
+            if path[0] == "conv1":
+                sd["conv1.weight"] = torch.randn(*np.asarray(val).transpose(3, 2, 0, 1).shape)
+            elif path[0] == "bn1":
+                sd[f"bn1.{ {'scale':'weight','bias':'bias'}[path[1]] }"] = torch.randn(val.shape[0])
+            elif path[0] == "fc":
+                if path[1] == "kernel":
+                    sd["fc.weight"] = torch.randn(val.shape[1], val.shape[0])
+                else:
+                    sd["fc.bias"] = torch.randn(val.shape[0])
+            elif path[0].startswith("layer"):
+                stage, blk = path[0].rsplit("_", 1)
+                t = f"{stage}.{blk}"
+                leaf = path[1]
+                if leaf.startswith("conv"):
+                    sd[f"{t}.{leaf}.weight"] = torch.randn(*np.asarray(val).transpose(3, 2, 0, 1).shape)
+                elif leaf == "downsample_conv":
+                    sd[f"{t}.downsample.0.weight"] = torch.randn(*np.asarray(val).transpose(3, 2, 0, 1).shape)
+                elif leaf == "downsample_bn":
+                    sd[f"{t}.downsample.1.weight"] = torch.randn(val.shape[0])
+                    sd[f"{t}.downsample.1.bias"] = torch.randn(val.shape[0])
+                    sd[f"{t}.downsample.1.running_mean"] = torch.randn(val.shape[0])
+                    sd[f"{t}.downsample.1.running_var"] = torch.rand(val.shape[0]) + 0.5
+                elif leaf.startswith("bn"):
+                    sd[f"{t}.{leaf}.{ {'scale':'weight','bias':'bias'}[path[2]] }"] = torch.randn(val.shape[0])
+        # add running stats for every bn
+        for key in list(sd):
+            if key.endswith("weight") and (".bn" in key or key.startswith("bn1")):
+                base = key[: -len(".weight")]
+                n = sd[key].shape[0]
+                sd[f"{base}.running_mean"] = torch.randn(n)
+                sd[f"{base}.running_var"] = torch.rand(n) + 0.5
+
+        imported = import_resnet_torch(sd, stage_sizes=(2, 2, 2, 2))
+        flat_imp = flax.traverse_util.flatten_dict(imported["params"])
+        assert set(flat_imp) == set(flat_init)
+        for key in flat_init:
+            assert tuple(flat_init[key].shape) == tuple(flat_imp[key].shape), key
+        # kernel layout mapping: torch (O, I, H, W) -> flax (H, W, I, O)
+        np.testing.assert_allclose(
+            flat_imp[("conv1", "kernel")],
+            sd["conv1.weight"].numpy().transpose(2, 3, 1, 0),
+        )
+        # the mapped tree drives a working forward
+        variables = {
+            "params": flax.traverse_util.unflatten_dict(
+                {k: jnp.asarray(v) for k, v in flat_imp.items()}
+            ),
+            "batch_stats": jax.tree.map(jnp.asarray, imported["batch_stats"]),
+        }
+        out = model.apply(variables, x)
+        assert np.isfinite(np.asarray(out)).all()
