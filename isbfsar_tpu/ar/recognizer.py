@@ -82,7 +82,12 @@ class ActionRecognizer:
             for m in self.modalities
         }
         mask = jnp.ones((1, self.way), bool)
-        return self.model.init(jax.random.key(seed), dummy_q, mask, support_data=dummy_s)
+
+        @jax.jit  # single program: eager init is slow over a remote TPU link
+        def init(key):
+            return self.model.init(key, dummy_q, mask, support_data=dummy_s)
+
+        return init(jax.random.key(seed))
 
     def _infer_cached_impl(self, params, query, features, mask):
         out = self.model.apply(params, query, mask[None], support_features=features[None])

@@ -77,10 +77,16 @@ class FocusDetector:
         self._forward = jax.jit(self._forward_impl)
 
     def _init_params(self, seed: int):
-        k1, k2 = jax.random.split(jax.random.key(seed))
-        det = self.face_det.init(k1, jnp.zeros((1, 128, 128, 3)))
-        gaze = self.gaze_net.init(k2, jnp.zeros((1, self.config.gaze_image_size, self.config.gaze_image_size, 3)))
-        return {"face_det": det, "gaze_net": gaze}
+        size = self.config.gaze_image_size
+
+        @jax.jit  # one program: eager init is minutes over a remote TPU link
+        def init(key):
+            k1, k2 = jax.random.split(key)
+            det = self.face_det.init(k1, jnp.zeros((1, 128, 128, 3)))
+            gaze = self.gaze_net.init(k2, jnp.zeros((1, size, size, 3)))
+            return {"face_det": det, "gaze_net": gaze}
+
+        return init(jax.random.key(seed))
 
     # --------------------------------------------------------------- fused
 

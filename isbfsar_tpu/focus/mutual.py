@@ -31,7 +31,9 @@ class HeadDetector:
         self.input_size = input_size
         self.net = HeadDetectorNet()
         if params is None:
-            params = self.net.init(jax.random.key(seed), jnp.zeros((1, input_size, input_size, 3)))
+            params = jax.jit(
+                lambda k: self.net.init(k, jnp.zeros((1, input_size, input_size, 3)))
+            )(jax.random.key(seed))
         self.params = params
         self._forward = jax.jit(self._forward_impl)
 
@@ -64,13 +66,18 @@ class MutualGazeDetector:
         self._forward = jax.jit(self._forward_impl)
 
     def _init(self, seed: int):
-        k1, k2, k3 = jax.random.split(jax.random.key(seed), 3)
         size = self.config.crop_size
-        det = self.detector_net.init(k1, jnp.zeros((1, 256, 256, 3)))
         feat_dim = 2048 if self.config.backbone == "resnet50" else 512
-        bb = self.backbone.init(k2, jnp.zeros((1, size, size, 3)))
-        cls = self.classifier.init(k3, jnp.zeros((1, feat_dim)))
-        return {"detector": det, "backbone": bb, "classifier": cls}
+
+        @jax.jit  # single program: eager init is slow over a remote TPU link
+        def init(key):
+            k1, k2, k3 = jax.random.split(key, 3)
+            det = self.detector_net.init(k1, jnp.zeros((1, 256, 256, 3)))
+            bb = self.backbone.init(k2, jnp.zeros((1, size, size, 3)))
+            cls = self.classifier.init(k3, jnp.zeros((1, feat_dim)))
+            return {"detector": det, "backbone": bb, "classifier": cls}
+
+        return init(jax.random.key(seed))
 
     def _forward_impl(self, params, frame):
         h, w = frame.shape[0], frame.shape[1]

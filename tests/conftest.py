@@ -7,7 +7,7 @@ mesh/pjit testing. These env vars must be set before jax initializes.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
@@ -17,6 +17,12 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# This machine's sitecustomize registers a TPU plugin and force-sets
+# jax_platforms — override back to an 8-virtual-device CPU so sharding
+# tests exercise real multi-device SPMD partitioning.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 # Cache every compile: CPU test-compiles dominate suite runtime otherwise.
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

@@ -1,0 +1,113 @@
+"""Fused pipeline tests: single-program streaming parity with the modules."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from isbfsar_tpu.configs import (
+    ARConfig,
+    CameraIntrinsics,
+    FocusConfig,
+    HPEConfig,
+    MainConfig,
+    PipelineConfig,
+)
+from isbfsar_tpu.ar.recognizer import ActionRecognizer
+from isbfsar_tpu.focus.detector import FocusDetector
+from isbfsar_tpu.hpe.estimator import HumanPoseEstimator
+from isbfsar_tpu.models.effnetv2 import V2_TINY
+from isbfsar_tpu.pipeline import FusedPipeline
+from isbfsar_tpu.runtime.source import SyntheticSource
+
+FRAME_SHAPE = (120, 160)
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    hpe_cfg = HPEConfig(yolo_input_size=128, crop_size=256, yolo_thresh=0.0)
+    intr = CameraIntrinsics(width=FRAME_SHAPE[1], height=FRAME_SHAPE[0])
+    hpe = HumanPoseEstimator(
+        hpe_cfg, intr, backbone_stages=V2_TINY, frame_shape=FRAME_SHAPE, yolo_width=0.25
+    )
+    ar = ActionRecognizer(ARConfig.for_input("skeleton"))
+    cfg = PipelineConfig(main=MainConfig.for_input("skeleton"), hpe=hpe_cfg)
+    p = FusedPipeline(cfg, hpe=hpe, ar=ar, with_focus=False)
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        ar.train(
+            {
+                "flag": f"a{i}",
+                "data": {"poses": rng.normal(size=(cfg.ar.seq_len, 90)).astype(np.float32)},
+                "requires_focus": False,
+            }
+        )
+    p.start()
+    return p
+
+
+class TestFusedPipeline:
+    def test_warmup_then_actions(self, pipe):
+        src = SyntheticSource(FRAME_SHAPE[1], FRAME_SHAPE[0])
+        seq_len = pipe.config.ar.seq_len
+        for i in range(seq_len - 1):
+            elements = pipe.decode(pipe.step(src.read()[1]))
+            assert elements["actions"] == {}, f"frame {i}: ar fired before window full"
+        elements = pipe.decode(pipe.step(src.read()[1]))
+        assert set(elements["actions"]) == {"a0", "a1"}
+        assert abs(sum(elements["actions"].values()) - 1.0) < 1e-5
+        assert "pose" in elements and elements["pose"].shape == (30, 3)
+        assert 0.0 <= elements["is_true"] <= 1.0
+
+    def test_pose_matches_unfused_module(self, pipe):
+        src = SyntheticSource(FRAME_SHAPE[1], FRAME_SHAPE[0])
+        frame = src.read()[1]
+        fused = pipe.step(frame)
+        unfused = pipe.hpe.estimate(frame)
+        assert bool(fused["pose_ok"])
+        np.testing.assert_allclose(
+            np.asarray(fused["pose_abs"]), unfused["pose"], rtol=1e-5, atol=1e-6
+        )
+
+    def test_probs_match_unfused_recognizer(self, pipe):
+        """The fused match must equal ActionRecognizer over the same stream."""
+        src = SyntheticSource(FRAME_SHAPE[1], FRAME_SHAPE[0])
+        frames = [src.read()[1] for _ in range(pipe.config.ar.seq_len)]
+
+        ar2 = ActionRecognizer(pipe.config.ar, params=pipe.ar.params)
+        for i, name in enumerate(pipe.ar.class_order):
+            if name is not None:
+                ar2.train(
+                    {
+                        "flag": name,
+                        "data": {"poses": pipe.ar.support_data["sk"][i]},
+                        "requires_focus": False,
+                    }
+                )
+
+        pipe._state = pipe.init_state()  # reset window
+        for frame in frames:
+            fused_out = pipe.step(frame)
+            pose = np.asarray(fused_out["pose"])
+            ref_results = ar2.inference({"sk": pose.reshape(-1)})
+
+        fused_probs = pipe.decode(fused_out)["actions"]
+        assert set(fused_probs) == set(ref_results[0])
+        for k in fused_probs:
+            np.testing.assert_allclose(fused_probs[k], ref_results[0][k], rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(
+            float(fused_out["is_true"]), ref_results[1], rtol=1e-4, atol=1e-5
+        )
+
+    def test_state_is_device_resident(self, pipe):
+        import jax
+
+        assert isinstance(pipe._state.window, jax.Array)
+        assert int(pipe._state.n_valid) >= pipe.config.ar.seq_len
+
+
+class TestGraftEntry:
+    def test_dryrun_multichip_8(self):
+        import __graft_entry__ as ge
+
+        ge.dryrun_multichip(8)
