@@ -82,6 +82,7 @@ class ResNet(nn.Module):
     num_classes: int = 0
     width: int = 64
     dtype: Any = jnp.bfloat16
+    enable_cam: bool = False  # sow + perturb the last stage for GRAD-CAM
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -106,6 +107,14 @@ class ResNet(nn.Module):
                     norm=norm,
                     name=f"layer{i + 1}_{j}",
                 )(x)
+
+        if self.enable_cam:
+            # GRAD-CAM capture point (the reference hooks layer4 activations
+            # + gradients, model.py:221-259): sow the activation, and add a
+            # zero 'perturbation' whose gradient IS d(score)/d(activation).
+            x = x.astype(jnp.float32)
+            self.sow("intermediates", "stage4", x)
+            x = self.perturb("stage4", x)
 
         x = jnp.mean(x, axis=(1, 2))  # global average pool
         x = x.astype(jnp.float32)

@@ -142,7 +142,9 @@ class TemporalCrossTransformer(nn.Module):
         norm_sq = jnp.sum(jnp.square(diff), axis=(-2, -1))
         logits = -(norm_sq / self.tuples.shape[0])  # (b, way)
         logits = jnp.where(support_mask, logits, NEG_INF)
-        return {"logits": logits, "diffs": diff, "prototypes": proto}
+        # attention exposed for explainability (the reference's add_hook
+        # score capture, model.py:56-57,110-111)
+        return {"logits": logits, "diffs": diff, "prototypes": proto, "attention": attn}
 
 
 class TRXOS(nn.Module):
@@ -217,4 +219,5 @@ class TRXOS(nn.Module):
             "is_true": decision,
             "prototypes": out["prototypes"],
             "support_features": support_features,
+            "attention": out["attention"],
         }

@@ -12,16 +12,22 @@ hpe.py:48-173, ar.py:30-84). Here a camera frame enters the device once and
     support set -> softmax scores + open-set decision
     [+ face detect -> head pose -> gaze normalization -> gaze net]
 
-runs as one jit-compiled program; only the final scalars/vectors return to
-the host. The AR sliding window lives on-device as a ring state threaded
-through the step function (reference ar.py:42-51 keeps it as a Python list
-of device tensors). Warmup/no-person/empty-support semantics are carried by
-flags exactly like the unfused modules.
+runs as one jit-compiled program. The AR sliding window lives on-device as
+ring state threaded through the step (reference ar.py:42-51 keeps it as a
+Python list of device tensors). Warmup/no-person/empty-support semantics
+are carried by flags exactly like the unfused modules.
+
+Transfer discipline (the actual latency budget on a remote-attached TPU):
+- host->device: ONE ``jax.device_put`` of the uint8 frame per step
+- device->host: ONE packed float32 vector (~150 floats) per step; every
+  per-frame scalar/pose/probs field is a host-side slice of it
+- ``stream()`` double-buffers: frame i+1 is dispatched before frame i's
+  results are read, hiding the H2D behind compute.
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, Iterable, Iterator, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -38,6 +44,33 @@ class StreamState(NamedTuple):
 
     window: jnp.ndarray  # (seq_len, n_joints*3) root-relative skeleton ring
     n_valid: jnp.ndarray  # () int32 — filled frames in the window
+
+
+class _Layout:
+    """Field -> slice map for the packed output vector."""
+
+    def __init__(self, fields: Dict[str, Tuple[int, ...]]):
+        self.specs = {}
+        offset = 0
+        for name, shape in fields.items():
+            size = int(np.prod(shape)) if shape else 1
+            self.specs[name] = (offset, offset + size, shape)
+            offset += size
+        self.size = offset
+
+    def pack(self, values: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+        parts = []
+        for name, (_, _, shape) in self.specs.items():
+            v = values[name].astype(jnp.float32)
+            parts.append(v.reshape(-1) if shape else v.reshape(1))
+        return jnp.concatenate(parts)
+
+    def unpack(self, vec: np.ndarray) -> Dict[str, np.ndarray]:
+        out = {}
+        for name, (start, end, shape) in self.specs.items():
+            v = vec[start:end]
+            out[name] = v.reshape(shape) if shape else v[0]
+        return out
 
 
 class FusedPipeline:
@@ -60,7 +93,36 @@ class FusedPipeline:
         self.with_focus = with_focus
         self.focus = (focus or FocusDetector(self.config.focus, self.config.intrinsics)) if with_focus else None
 
+        cfg = self.config.ar
+        fields = {
+            "pose": (cfg.n_joints, 3),
+            "pose_abs": (cfg.n_joints, 3),
+            "bbox": (4,),
+            "conf": (),
+            "pose_ok": (),
+            "distance": (),
+            "probs": (cfg.way,),
+            "is_true": (),
+            "ar_ready": (),
+        }
+        if self.with_focus:
+            fields.update(
+                {
+                    "f_found": (),
+                    "f_score": (),
+                    "f_bbox": (4,),
+                    "f_landmarks": (6, 2),
+                    "f_head_position": (3,),
+                    "f_head_rotvec": (3,),
+                    "f_norm_head_rot2d": (2,),
+                    "f_gaze": (3,),
+                    "f_norm_gaze": (3,),
+                }
+            )
+        self.layout = _Layout(fields)
+
         self._step = jax.jit(self._step_impl, donate_argnums=(3,))
+        self._step_batch = jax.jit(self._step_batch_impl, donate_argnums=(3,))
 
     # -------------------------------------------------------------- factory
 
@@ -82,7 +144,7 @@ class FusedPipeline:
     def _step_impl(self, params, frame, support_features, state, support_mask):
         """frame (H, W, 3) uint8; support_features (way, L, D); support_mask (way,).
 
-        Returns (outputs dict, new_state).
+        Returns (packed f32 vector, new_state).
         """
         cfg = self.config.ar
 
@@ -109,10 +171,11 @@ class FusedPipeline:
         is_true = out["is_true"][0, 0]
         ar_ready = jnp.logical_and(n_valid >= cfg.seq_len, jnp.any(support_mask))
 
-        outputs = {
+        values = {
             "pose": rel_pose,
             "pose_abs": pose,
             "bbox": bbox,
+            "conf": conf,
             "pose_ok": pose_ok,
             "distance": distance,
             "probs": probs,
@@ -121,9 +184,94 @@ class FusedPipeline:
         }
 
         if self.with_focus:
-            outputs["focus"] = self.focus._forward_impl(params["focus"], frame)
+            f = self.focus._forward_impl(params["focus"], frame)
+            values.update(
+                f_found=f["found"],
+                f_score=f["score"],
+                f_bbox=f["bbox"],
+                f_landmarks=f["landmarks"],
+                f_head_position=f["head_position"],
+                f_head_rotvec=f["head_rotvec"],
+                f_norm_head_rot2d=f["normalized_head_rot2d"],
+                f_gaze=f["gaze_vector"],
+                f_norm_gaze=f["normalized_gaze_vector"],
+            )
 
-        return outputs, StreamState(window=window, n_valid=n_valid)
+        return self.layout.pack(values), StreamState(window=window, n_valid=n_valid)
+
+    def _step_batch_impl(self, params, frames, support_features, state, support_mask):
+        """Micro-batched step: B frames -> (B, vec) packed outputs + state.
+
+        Identical per-frame semantics to :meth:`_step_impl`; the point is
+        transfer/sync amortization on remote-attached TPUs (one H2D, one
+        program, one D2H per B frames instead of per frame). Pose/focus are
+        batched over frames (batched convs on the MXU); only the sliding-
+        window recurrence runs as a (trivially cheap) lax.scan.
+        """
+        cfg = self.config.ar
+        b = frames.shape[0]
+
+        pose, bbox, conf, found, visible = jax.vmap(
+            self.hpe._estimate_impl, in_axes=(None, 0)
+        )(params["hpe"], frames)
+        pose_ok = jnp.logical_and(found, visible)
+
+        distance = jnp.linalg.norm(pose[:, 0], axis=-1) * 2.5
+        rel_pose = pose - pose[:, :1]
+        sks = rel_pose.reshape(b, -1)
+
+        # window recurrence: tiny (16 x 90) shifts, sequential by definition
+        def scan_body(st, inp):
+            sk, ok = inp
+            pushed = jnp.concatenate([st.window[1:], sk[None]], axis=0)
+            window = jnp.where(ok, pushed, st.window)
+            n_valid = jnp.where(ok, jnp.minimum(st.n_valid + 1, cfg.seq_len), st.n_valid)
+            new = StreamState(window=window, n_valid=n_valid)
+            return new, (window, n_valid)
+
+        state, (windows, n_valids) = jax.lax.scan(scan_body, state, (sks, pose_ok))
+
+        # batched AR match: all B windows against the shared support set
+        out = self.ar.model.apply(
+            params["ar"],
+            {"sk": windows},
+            jnp.broadcast_to(support_mask[None], (b, support_mask.shape[0])),
+            support_features=jnp.broadcast_to(
+                support_features[None], (b,) + support_features.shape
+            ),
+        )
+        probs = jax.nn.softmax(out["logits"], axis=-1)
+        is_true = out["is_true"][:, 0]
+        ar_ready = jnp.logical_and(n_valids >= cfg.seq_len, jnp.any(support_mask))
+
+        values = {
+            "pose": rel_pose,
+            "pose_abs": pose,
+            "bbox": bbox,
+            "conf": conf,
+            "pose_ok": pose_ok,
+            "distance": distance,
+            "probs": probs,
+            "is_true": is_true,
+            "ar_ready": jnp.broadcast_to(ar_ready, (b,)),
+        }
+
+        if self.with_focus:
+            f = jax.vmap(self.focus._forward_impl, in_axes=(None, 0))(params["focus"], frames)
+            values.update(
+                f_found=f["found"],
+                f_score=f["score"],
+                f_bbox=f["bbox"],
+                f_landmarks=f["landmarks"],
+                f_head_position=f["head_position"],
+                f_head_rotvec=f["head_rotvec"],
+                f_norm_head_rot2d=f["normalized_head_rot2d"],
+                f_gaze=f["gaze_vector"],
+                f_norm_gaze=f["normalized_gaze_vector"],
+            )
+
+        packed = jax.vmap(self.layout.pack)(values)
+        return packed, state
 
     # ------------------------------------------------------------ host API
 
@@ -150,28 +298,89 @@ class FusedPipeline:
         self._support_mask = jnp.asarray(self.ar.support_mask)
         self._device_params = self._params()
 
-    def step(self, frame: np.ndarray) -> Dict[str, Any]:
-        """One frame through the fused program; host-side decode of flags."""
-        outputs, self._state = self._step(
+    def dispatch(self, frame: np.ndarray) -> jnp.ndarray:
+        """Enqueue one frame (async): one H2D put + one program dispatch."""
+        packed, self._state = self._step(
             self._device_params,
-            jnp.asarray(frame),
+            jax.device_put(np.ascontiguousarray(frame, np.uint8)),
             self._support_features,
             self._state,
             self._support_mask,
         )
-        return outputs
+        return packed
 
-    def decode(self, outputs: Dict[str, Any]) -> Dict[str, Any]:
-        """Convert device outputs into the orchestrator's elements contract."""
+    def step(self, frame: np.ndarray) -> Dict[str, np.ndarray]:
+        """One frame, synchronous: dispatch then read the packed vector."""
+        return self.fetch(self.dispatch(frame))
+
+    def fetch(self, packed: jnp.ndarray) -> Dict[str, np.ndarray]:
+        """ONE device->host transfer; host-side field slicing."""
+        return self.layout.unpack(np.asarray(packed))
+
+    def stream(self, frames: Iterable[np.ndarray]) -> Iterator[Dict[str, np.ndarray]]:
+        """Double-buffered streaming: overlap frame i+1's H2D + compute with
+        frame i's readback (the queue-based overlap of the reference's
+        process topology, without the processes)."""
+        pending = None
+        for frame in frames:
+            packed = self.dispatch(frame)
+            if pending is not None:
+                yield self.fetch(pending)
+            pending = packed
+        if pending is not None:
+            yield self.fetch(pending)
+
+    def dispatch_batch(self, frames: np.ndarray) -> jnp.ndarray:
+        """Enqueue B frames as one program call (async)."""
+        packed, self._state = self._step_batch(
+            self._device_params,
+            jax.device_put(np.ascontiguousarray(frames, np.uint8)),
+            self._support_features,
+            self._state,
+            self._support_mask,
+        )
+        return packed
+
+    def stream_batched(
+        self, frames: Iterable[np.ndarray], batch_size: int = 8
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        """Micro-batched streaming: per-frame results, one device round-trip
+        per ``batch_size`` frames. Amortizes the host<->device sync latency
+        that dominates on remote-attached chips; adds up to one batch of
+        latency. Partial tail batches fall back to single-frame steps (the
+        batched program is compiled once per batch_size)."""
+        buf: list = []
+        pending: Optional[jnp.ndarray] = None
+
+        def flush(buf):
+            return self.dispatch_batch(np.stack(buf))
+
+        for frame in frames:
+            buf.append(frame)
+            if len(buf) == batch_size:
+                packed = flush(buf)
+                buf = []
+                if pending is not None:
+                    for row in np.asarray(pending):
+                        yield self.layout.unpack(row)
+                pending = packed
+        if pending is not None:
+            for row in np.asarray(pending):
+                yield self.layout.unpack(row)
+        for frame in buf:  # tail
+            yield self.fetch(self.dispatch(frame))
+
+    def decode(self, outputs: Dict[str, np.ndarray]) -> Dict[str, Any]:
+        """Convert unpacked outputs into the orchestrator's elements contract."""
         elements: Dict[str, Any] = {}
-        if bool(outputs["pose_ok"]):
-            elements["pose"] = np.asarray(outputs["pose"])
+        if outputs["pose_ok"] > 0:
+            elements["pose"] = outputs["pose"]
             elements["distance"] = float(outputs["distance"])
-            x1, x2, y1, y2 = (int(v) for v in np.asarray(outputs["bbox"]))
+            x1, x2, y1, y2 = (int(v) for v in outputs["bbox"])
             elements["bbox"] = (x1, x2, y1, y2)
             elements["edges"] = self.hpe.edges
-        if bool(outputs["ar_ready"]):
-            probs = np.asarray(outputs["probs"])
+        if outputs["ar_ready"] > 0:
+            probs = outputs["probs"]
             elements["actions"] = {
                 name: float(probs[i])
                 for i, name in enumerate(self.ar.class_order)
@@ -183,8 +392,20 @@ class FusedPipeline:
             elements["actions"] = {}
             elements["is_true"] = 0
             elements["requires_focus"] = {}
-        if self.with_focus and bool(outputs["focus"]["found"]):
-            res = self.focus.estimate_collect(outputs["focus"])
+        if self.with_focus and outputs["f_found"] > 0:
+            focus_out = {
+                "found": True,
+                "score": outputs["f_score"],
+                "bbox": outputs["f_bbox"],
+                "landmarks": outputs["f_landmarks"],
+                "head_position": outputs["f_head_position"],
+                "head_rotvec": outputs["f_head_rotvec"],
+                "normalized_head_rot2d": outputs["f_norm_head_rot2d"],
+                "gaze_vector": outputs["f_gaze"],
+                "normalized_gaze_vector": outputs["f_norm_gaze"],
+                "normalized_image": None,
+            }
+            res = self.focus.estimate_collect(focus_out)
             if res is not None:
                 elements["focus"], face = res
                 elements["face_bbox"] = face.bbox.reshape(-1)
@@ -195,4 +416,4 @@ class FusedPipeline:
         dummy = np.zeros((h, w, 3), np.uint8)
         for _ in range(n):
             out = self.step(dummy)
-        jax.block_until_ready(out)
+        jax.block_until_ready(self._state.window)

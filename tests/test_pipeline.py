@@ -106,6 +106,27 @@ class TestFusedPipeline:
         assert int(pipe._state.n_valid) >= pipe.config.ar.seq_len
 
 
+class TestBatchedStream:
+    def test_batched_equals_sequential(self, pipe):
+        """stream_batched must produce bit-identical per-frame results to
+        sequential step() — same window recurrence, same AR matches."""
+        src = SyntheticSource(FRAME_SHAPE[1], FRAME_SHAPE[0])
+        frames = [src.read()[1] for _ in range(10)]
+
+        pipe._state = pipe.init_state()
+        seq = [pipe.step(f) for f in frames]
+
+        pipe._state = pipe.init_state()
+        batched = list(pipe.stream_batched(iter(frames), batch_size=4))
+
+        assert len(batched) == len(seq)
+        for s, b in zip(seq, batched):
+            np.testing.assert_allclose(b["pose"], s["pose"], rtol=1e-5, atol=1e-5)
+            np.testing.assert_allclose(b["probs"], s["probs"], rtol=1e-4, atol=1e-5)
+            assert bool(b["pose_ok"]) == bool(s["pose_ok"])
+            assert bool(b["ar_ready"]) == bool(s["ar_ready"])
+
+
 class TestGraftEntry:
     def test_dryrun_multichip_8(self):
         import __graft_entry__ as ge

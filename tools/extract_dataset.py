@@ -1,0 +1,123 @@
+"""Dataset extraction: run the live HPE over videos to emit training clips.
+
+Rebuild of the reference's NTU-RGBD extraction pipeline (reference
+modules/ar/utils/data_extraction/extract_skeleton_rgb_from_nturgbd.py:1-148):
+per input clip, sample ``n_frames`` uniformly, run the pose estimator, save
+the root-relative (122, 3) pose per frame (+ optional cropped rgb png),
+reuse the previous pose when a frame fails (reference :110-117), and resume
+by counting already-extracted clip dirs per class (reference :57-84).
+
+Output tree: ``out_root/<class>/<clip_idx>/{i}.npy`` (+ ``{i}.png``) — the
+layout isbfsar_tpu.train.dataloader consumes.
+
+Usage:
+    python tools/extract_dataset.py --videos <dir-with-class-subdirs> \
+        --out <out_root> [--n-frames 16] [--with-images]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def extract_clip(estimator, video_path: str, n_frames: int, with_images: bool):
+    """Returns (poses list of (122, 3) root-relative, crops list) or None."""
+    import cv2
+
+    cap = cv2.VideoCapture(video_path)
+    total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    if total <= 0:
+        cap.release()
+        return None
+    picks = set(np.linspace(0, total - 1, n_frames).astype(int).tolist())
+
+    poses, crops = [], []
+    last_pose, last_crop = None, None
+    i = 0
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        if i in picks:
+            res = estimator.estimate(frame)
+            if res is not None:
+                pose = res["pose"] - res["pose"][0]  # root-relative (:121-ish)
+                last_pose = pose
+                if with_images:
+                    x1, x2, y1, y2 = res["bbox"]
+                    xm, ym = (x1 + x2) // 2, (y1 + y2) // 2
+                    half = max(xm - x1, ym - y1, 1)
+                    crop = frame[max(ym - half, 0): ym + half, max(xm - half, 0): xm + half]
+                    last_crop = cv2.resize(crop, (224, 224))
+            # per-frame failure: reuse the last good pose (reference :110-117)
+            if last_pose is None:
+                cap.release()
+                return None
+            poses.append(last_pose)
+            if with_images:
+                crops.append(last_crop)
+        i += 1
+    cap.release()
+    if len(poses) < n_frames:
+        poses += [poses[-1]] * (n_frames - len(poses))
+        if with_images:
+            crops += [crops[-1]] * (n_frames - len(crops))
+    return poses, crops
+
+
+def main() -> None:
+    import cv2
+
+    from isbfsar_tpu.configs import CameraIntrinsics, HPEConfig
+    from isbfsar_tpu.hpe.estimator import HumanPoseEstimator
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--videos", required=True, help="root with <class>/<clip>.avi")
+    parser.add_argument("--out", required=True)
+    parser.add_argument("--n-frames", type=int, default=16)
+    parser.add_argument("--with-images", action="store_true")
+    parser.add_argument("--checkpoint", default=None, help="HPE params msgpack")
+    args = parser.parse_args()
+
+    estimator = HumanPoseEstimator(HPEConfig(), CameraIntrinsics())
+    if args.checkpoint:
+        from isbfsar_tpu.utils.checkpoint import load_checkpoint
+
+        estimator.params = load_checkpoint(args.checkpoint, estimator.params)
+
+    for class_name in sorted(os.listdir(args.videos)):
+        class_dir = os.path.join(args.videos, class_name)
+        if not os.path.isdir(class_dir):
+            continue
+        out_class = os.path.join(args.out, class_name)
+        os.makedirs(out_class, exist_ok=True)
+        # resumability: skip clips already extracted (reference :57-84)
+        done = len(os.listdir(out_class))
+        videos = sorted(os.listdir(class_dir))
+        for idx, vid in enumerate(videos):
+            if idx < done:
+                continue
+            result = extract_clip(
+                estimator, os.path.join(class_dir, vid), args.n_frames, args.with_images
+            )
+            if result is None:
+                print(f"[extract] SKIP {class_name}/{vid} (no usable pose)")
+                continue
+            poses, crops = result
+            clip_dir = os.path.join(out_class, str(idx))
+            os.makedirs(clip_dir, exist_ok=True)
+            for i, pose in enumerate(poses):
+                np.save(os.path.join(clip_dir, f"{i}.npy"), pose.astype(np.float32))
+                if args.with_images:
+                    cv2.imwrite(os.path.join(clip_dir, f"{i}.png"), crops[i])
+            print(f"[extract] {class_name}/{vid} -> {clip_dir}")
+
+
+if __name__ == "__main__":
+    main()
