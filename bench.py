@@ -14,14 +14,21 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
+# Persistent XLA compile cache: warmup compiles the big fused programs once
+# (~15 min through the remote-compile relay); subsequent runs reuse them.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/isbfsar_jax_cache")
+
 
 def main() -> None:
     import jax
+
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     from isbfsar_tpu.configs import PipelineConfig
     from isbfsar_tpu.pipeline import FusedPipeline

@@ -36,7 +36,7 @@ from isbfsar_tpu.models.trx import TRXOS
 
 MODALITY_SHAPES = {
     "sk": lambda cfg: (cfg.n_joints * 3,),
-    "rgb": lambda cfg: (224, 224, 3),
+    "rgb": lambda cfg: (cfg.rgb_size, cfg.rgb_size, 3),
 }
 
 

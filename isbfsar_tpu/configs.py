@@ -100,6 +100,7 @@ class ARConfig:
     shot: int = 1
     n_joints: int = 30
     seq_len: int = seq_len_for(DEFAULT_INPUT_TYPE)
+    rgb_size: int = 224  # AR rgb crop side (reference main.py:86)
 
     # model dims (reference utils/params.py:79-84)
     trans_linear_out_dim: int = 128

@@ -51,11 +51,27 @@ def _bce(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
 
 
 def make_loss_fn(model: TRXOS, cfg: ARConfig):
-    def loss_fn(params, batch, disc_on: bool):
+    def loss_fn(params, batch_stats, batch, disc_on: bool, train: bool = True):
+        """params/batch_stats are separate so gradients flow only through
+        params; BN running stats (rgb/hybrid modes) update functionally and
+        are returned as aux (the reference's torch BN updates in-place)."""
         b = batch["target_class"].shape[0]
         mask = jnp.ones((b, cfg.way), bool)
 
-        out = model.apply(params, batch["target_set"], mask, support_data=batch["support_set"])
+        has_bn = batch_stats is not None and len(batch_stats) > 0
+        variables = {"params": params}
+        if has_bn:
+            variables["batch_stats"] = batch_stats
+
+        def apply(query, **kw):
+            if has_bn and train:
+                out, mut = model.apply(
+                    variables, query, mask, train=True, mutable=["batch_stats"], **kw
+                )
+                return out, mut["batch_stats"]
+            return model.apply(variables, query, mask, **kw), batch_stats
+
+        out, new_stats = apply(batch["target_set"], support_data=batch["support_set"])
         logits = out["logits"]
         target = (batch["support_classes"] == batch["target_class"][:, None]).astype(jnp.float32)
 
@@ -66,6 +82,7 @@ def make_loss_fn(model: TRXOS, cfg: ARConfig):
         metrics: Dict[str, Any] = {
             "fs_loss": fs_loss,
             "fs_correct": fs_correct,
+            "batch_stats": new_stats,
         }
         total = fs_loss
 
@@ -76,8 +93,8 @@ def make_loss_fn(model: TRXOS, cfg: ARConfig):
             known_pred = out["is_true"][:, 0]
             known_os = jnp.sum(_bce(known_pred, jnp.ones_like(known_pred)) * w) / n
 
-            out_u = model.apply(
-                params, batch["unknown_set"], mask, support_features=out["support_features"]
+            out_u, _ = apply(
+                batch["unknown_set"], support_features=out["support_features"]
             )
             unk_pred = out_u["is_true"][:, 0]
             unknown_os = jnp.sum(_bce(unk_pred, jnp.zeros_like(unk_pred)) * w) / n
@@ -114,8 +131,9 @@ class Trainer:
         self.logger = MetricsLogger(log_dir, use_wandb=use_wandb)
         self.ckpt_dir = config.checkpoint_dir or f"{log_dir}/checkpoints"
 
-        self.params = self._init_params(seed)
-        self.params = replicate(self.params, self.mesh)
+        variables = self._init_params(seed)
+        self.params = replicate(variables["params"], self.mesh)
+        self.batch_stats = replicate(variables.get("batch_stats", {}), self.mesh)
 
         steps_per_epoch = max(1, (config.n_task // config.batch_size))
         schedule = optax.piecewise_constant_schedule(
@@ -132,24 +150,28 @@ class Trainer:
 
         loss_fn = make_loss_fn(self.model, config)
 
-        def train_step(params, opt_state, batch, disc_on):
+        def train_step(params, batch_stats, opt_state, batch, disc_on):
             (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, batch, disc_on
+                params, batch_stats, batch, disc_on
             )
             updates, opt_state = self.optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, metrics
+            new_stats = metrics.pop("batch_stats")
+            return params, new_stats, opt_state, metrics
 
-        def eval_step(params, batch, disc_on):
-            _, metrics = loss_fn(params, batch, disc_on)
+        def eval_step(params, batch_stats, batch, disc_on):
+            _, metrics = loss_fn(params, batch_stats, batch, disc_on, train=False)
+            metrics.pop("batch_stats")
             return metrics
 
-        self._train_step = jax.jit(train_step, static_argnames="disc_on", donate_argnums=(0, 1))
+        self._train_step = jax.jit(
+            train_step, static_argnames="disc_on", donate_argnums=(0, 1, 2)
+        )
         self._eval_step = jax.jit(eval_step, static_argnames="disc_on")
 
     def _init_params(self, seed: int):
         cfg = self.cfg
-        shapes = {"sk": (cfg.n_joints * 3,), "rgb": (224, 224, 3)}
+        shapes = {"sk": (cfg.n_joints * 3,), "rgb": (cfg.rgb_size, cfg.rgb_size, 3)}
         keys = MODALITY_KEYS[cfg.input_type]
         q = {m: jnp.zeros((1, cfg.seq_len) + shapes[m]) for m in keys}
         s = {m: jnp.zeros((1, cfg.way, cfg.seq_len) + shapes[m]) for m in keys}
@@ -173,11 +195,11 @@ class Trainer:
         for batch in batches:
             batch = self._prepare(batch)
             if train:
-                self.params, self.opt_state, metrics = self._train_step(
-                    self.params, self.opt_state, batch, disc_on
+                self.params, self.batch_stats, self.opt_state, metrics = self._train_step(
+                    self.params, self.batch_stats, self.opt_state, batch, disc_on
                 )
             else:
-                metrics = self._eval_step(self.params, batch, disc_on)
+                metrics = self._eval_step(self.params, self.batch_stats, batch, disc_on)
 
             fs_losses.append(float(metrics["fs_loss"]))
             fs_correct.append(np.asarray(metrics["fs_correct"]))
@@ -231,7 +253,13 @@ class Trainer:
             last = self.run_epoch(epoch, batches_fn(sampler, epoch), train=not do_eval)
             if not do_eval:
                 ckpt.save_checkpoint(
-                    self.ckpt_dir, epoch, {"params": self.params, "opt_state": self.opt_state},
+                    self.ckpt_dir,
+                    epoch,
+                    {
+                        "params": self.params,
+                        "batch_stats": self.batch_stats,
+                        "opt_state": self.opt_state,
+                    },
                     meta={"epoch": epoch},
                 )
         return last

@@ -265,3 +265,42 @@ class TestCheckpoint:
         }
         out = model.apply(variables, x)
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestRGBTrainer:
+    def test_rgb_mode_updates_batch_stats(self, tmp_path, rng):
+        """rgb episodes train end-to-end: BN stats update functionally."""
+        import jax
+
+        from isbfsar_tpu.parallel.mesh import make_mesh
+
+        cfg = dataclasses.replace(
+            ARConfig.for_input("rgb"),
+            rgb_size=32,
+            n_task=2,
+            batch_size=2,
+            eval_every_n_epoch=1000,
+            checkpoint_dir=str(tmp_path / "c"),
+        )
+        trainer = Trainer(
+            cfg, mesh=make_mesh(2), log_dir=str(tmp_path / "r"), use_wandb=False
+        )
+        assert trainer.batch_stats  # resnet BN present
+
+        b, way, L, s = 2, cfg.way, cfg.seq_len, cfg.rgb_size
+        batch = {
+            "support_set": {"rgb": rng.normal(size=(b, way, L, s, s, 3)).astype(np.float32)},
+            "target_set": {"rgb": rng.normal(size=(b, L, s, s, 3)).astype(np.float32)},
+            "unknown_set": {"rgb": rng.normal(size=(b, L, s, s, 3)).astype(np.float32)},
+            "support_classes": np.tile(np.arange(way, dtype=np.int32), (b, 1)),
+            "target_class": np.zeros((b,), np.int32),
+            "known": np.ones((b,), bool),
+        }
+        stats_before = jax.tree.map(np.asarray, trainer.batch_stats)
+        summary = trainer.run_epoch(0, [batch], train=True)
+        assert np.isfinite(summary["train/fs_loss"])
+        stats_after = jax.tree.map(np.asarray, trainer.batch_stats)
+        changed = jax.tree.leaves(
+            jax.tree.map(lambda a, c: float(np.abs(a - c).max()), stats_before, stats_after)
+        )
+        assert max(changed) > 0.0  # BN running stats moved
