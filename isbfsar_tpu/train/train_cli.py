@@ -1,0 +1,104 @@
+"""Training entry point — the reference's ``python modules/ar/utils/train.py``.
+
+Reproduces the reference's dataset protocol (reference train.py:27-95):
+- the 20 NTU-120 hold-out test classes (every 6th class A1, A7, ... A115,
+  train.py:33-43) are excluded from training
+- the remaining classes split 80/20 into train/val by list order
+  (train.py:62-64)
+- class ids resolve through assets/nturgbd_classes.txt ("A{n}. name." lines)
+
+Usage:
+    python -m isbfsar_tpu.train.train_cli --data <dataset_root> \
+        [--input-type skeleton] [--epochs 100] [--batch-size 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+from typing import Dict, List, Tuple
+
+from isbfsar_tpu.configs import ASSETS_DIR, ARConfig
+
+NTU_TEST_IDS = [f"A{i}" for i in range(1, 116, 6)]  # A1, A7, ..., A115
+
+
+def load_ntu_class_names(path: str = "") -> Dict[str, str]:
+    """'A{n}. name.' lines -> {A{n}: sanitized_name} (reference train.py:36-42)."""
+    path = path or os.path.join(ASSETS_DIR, "nturgbd_classes.txt")
+    mapping = {}
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            if "." not in line:
+                continue
+            index, name, *_ = line.split(".")
+            name = name.strip().replace(" ", "_").replace("/", "-").replace("’", "")
+            mapping[index.strip()] = name
+    return mapping
+
+
+def ntu_splits(all_classes: List[str]) -> Tuple[List[str], List[str], List[str]]:
+    """(train, val, test) class-name lists per the reference protocol."""
+    mapping = load_ntu_class_names()
+    test_names = {mapping[i] for i in NTU_TEST_IDS if i in mapping}
+    test = [c for c in all_classes if c in test_names]
+    rest = [c for c in all_classes if c not in test_names]
+    idx = int(len(rest) * 0.8)
+    return rest[:idx], rest[idx:], test
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--data", required=True)
+    parser.add_argument("--input-type", default="skeleton",
+                        choices=["skeleton", "rgb", "hybrid"])
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--batch-size", type=int, default=None)
+    parser.add_argument("--n-task", type=int, default=None)
+    parser.add_argument("--log-dir", default="runs/trx")
+    parser.add_argument("--resume", default=None, help="checkpoint msgpack to resume")
+    args = parser.parse_args()
+
+    from isbfsar_tpu.train.dataloader import EpisodicSampler, list_classes
+    from isbfsar_tpu.train.trainer import Trainer
+    from isbfsar_tpu.utils.checkpoint import load_checkpoint
+
+    cfg = ARConfig.for_input(args.input_type)
+    overrides = {}
+    if args.batch_size:
+        overrides["batch_size"] = args.batch_size
+    if args.n_task:
+        overrides["n_task"] = args.n_task
+    if overrides:
+        cfg = dataclasses.replace(cfg, **overrides)
+
+    train_classes, val_classes, test_classes = ntu_splits(list_classes(args.data))
+    print(f"[train] classes: {len(train_classes)} train / {len(val_classes)} val / "
+          f"{len(test_classes)} held-out test")
+
+    common = dict(k=cfg.way, n_task=cfg.n_task, max_l=16, l=cfg.seq_len,
+                  input_type=cfg.input_type)
+    train_sampler = EpisodicSampler(args.data, seed=0, **common)
+    valid_sampler = EpisodicSampler(args.data, seed=1, **common)
+    train_sampler.all_classes = train_classes or train_sampler.all_classes
+    valid_sampler.all_classes = val_classes or valid_sampler.all_classes
+
+    trainer = Trainer(cfg, train_sampler, valid_sampler, log_dir=args.log_dir)
+    if args.resume:
+        state = load_checkpoint(
+            args.resume,
+            {"params": trainer.params, "batch_stats": trainer.batch_stats,
+             "opt_state": trainer.opt_state},
+        )
+        trainer.params = state["params"]
+        trainer.batch_stats = state["batch_stats"]
+        trainer.opt_state = state["opt_state"]
+        print(f"[train] resumed from {args.resume}")
+
+    summary = trainer.fit(n_epochs=args.epochs)
+    print(f"[train] done: {summary}")
+
+
+if __name__ == "__main__":
+    main()

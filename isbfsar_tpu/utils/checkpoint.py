@@ -133,3 +133,25 @@ def import_resnet_torch(state_dict: Dict[str, Any], stage_sizes=(3, 4, 6, 3)) ->
     if "fc.weight" in sd:
         params["fc"] = {"kernel": _t2n(sd["fc.weight"]).T, "bias": _t2n(sd["fc.bias"])}
     return {"params": params, "batch_stats": stats}
+
+
+def rename_params(tree: Dict[str, Any], renames: Dict[str, str]) -> Dict[str, Any]:
+    """Checkpoint-migration utility: rename parameter path segments.
+
+    The reference ships a torch layer-renaming migration script
+    (reference utils/rename_torch_layers_and_parameters.py:1-18); this is the
+    flax-tree equivalent: ``renames`` maps old path segments (or full
+    '/'-joined prefixes) to new ones, applied to every leaf path.
+
+    Example: rename_params(ckpt, {"post_resnet": "rgb_extractor/post"}).
+    """
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(tree)
+    out = {}
+    for path, leaf in flat.items():
+        joined = "/".join(path)
+        for old, new in renames.items():
+            joined = joined.replace(old, new)
+        out[tuple(joined.split("/"))] = leaf
+    return flax.traverse_util.unflatten_dict(out)
