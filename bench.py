@@ -20,15 +20,14 @@ import time
 
 import numpy as np
 
-# Persistent XLA compile cache: warmup compiles the big fused programs once
-# (~15 min through the remote-compile relay); subsequent runs reuse them.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/isbfsar_jax_cache")
-
-
 def main() -> None:
     import jax
 
+    # Persistent XLA compile cache: warmup compiles the big fused programs
+    # once (~15 min through the remote-compile relay); later runs reuse them.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/isbfsar_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
     from isbfsar_tpu.configs import PipelineConfig
     from isbfsar_tpu.pipeline import FusedPipeline

@@ -1,0 +1,1 @@
+from isbfsar_tpu.ar.recognizer import ActionRecognizer  # noqa: F401

@@ -1,0 +1,1 @@
+from isbfsar_tpu.hpe.estimator import HumanPoseEstimator  # noqa: F401

@@ -126,3 +126,16 @@ class TestMutualGaze:
         watching, box = res
         assert isinstance(watching, bool)
         assert box.shape == (4,)
+
+
+class TestHeadPose:
+    def test_head_pose_detector_contract(self, rng):
+        from isbfsar_tpu.focus.head_pose import HeadPoseDetector
+
+        det = HeadPoseDetector(crop_size=64)
+        frame = rng.integers(0, 255, (120, 160, 3)).astype(np.uint8)
+        res = det.estimate(frame)
+        if res is not None:  # random weights may not clear the face gate
+            assert set(res) == {"bbox", "yaw", "pitch", "roll"}
+            assert -99.0 <= res["yaw"] <= 99.0  # 66-bin decode range
+            assert -99.0 <= res["pitch"] <= 99.0
