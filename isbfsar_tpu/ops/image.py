@@ -15,18 +15,42 @@ IMAGENET_SCALE = (0.229, 0.224, 0.225)
 IMAGENET_SHIFT = (0.485, 0.456, 0.406)
 
 
+import functools
+
+import jax
+import numpy as np
+
+
+@functools.lru_cache(maxsize=None)
+def _area_weights(src: int, dst: int) -> np.ndarray:
+    """(dst, src) exact INTER_AREA box-overlap weight matrix (downscale)."""
+    scale = src / dst
+    w = np.zeros((dst, src), np.float32)
+    for i in range(dst):
+        lo, hi = i * scale, (i + 1) * scale
+        j0, j1 = int(np.floor(lo)), int(np.ceil(hi))
+        for j in range(j0, min(j1, src)):
+            overlap = min(hi, j + 1) - max(lo, j)
+            if overlap > 0:
+                w[i, j] = overlap / scale
+    return w
+
+
 def resize_area(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
-    """Antialiased downscale approximating cv2.INTER_AREA.
+    """Exact cv2.INTER_AREA downscale as two MXU matmuls.
 
     img: (h, w, c) any numeric dtype -> float32 (out_h, out_w, c).
-    jax.image.resize with linear+antialias is a box-overlap weighted filter,
-    numerically close to INTER_AREA for the 640x480 -> 256x256 hot path.
+    INTER_AREA is separable box-overlap averaging, i.e.
+    ``out = W_rows @ img @ W_colsᵀ`` with precomputed fractional-overlap
+    weight matrices — systolic-array work instead of a gather/conv resample
+    (and bit-faithful to the reference's cv2.resize, hpe.py:51).
     """
-    import jax
-
-    return jax.image.resize(
-        img.astype(jnp.float32), (out_h, out_w, img.shape[-1]), method="linear", antialias=True
-    )
+    h, w, _ = img.shape
+    wr = jnp.asarray(_area_weights(h, out_h))
+    wc = jnp.asarray(_area_weights(w, out_w))
+    hi = jax.lax.Precision.HIGHEST
+    x = jnp.einsum("ij,jwc->iwc", wr, img.astype(jnp.float32), precision=hi)
+    return jnp.einsum("kw,iwc->ikc", wc, x, precision=hi)
 
 
 def yolo_preprocess(frame_bgr: jnp.ndarray, size: int = 256) -> jnp.ndarray:

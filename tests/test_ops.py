@@ -222,3 +222,23 @@ def ops_image():
     from isbfsar_tpu.ops import image
 
     return image
+
+
+class TestResizeArea:
+    def test_matches_cv2_inter_area(self, rng):
+        import cv2
+
+        from isbfsar_tpu.ops.image import resize_area
+
+        img = rng.integers(0, 255, (480, 640, 3)).astype(np.uint8)
+        got = np.asarray(resize_area(jnp.asarray(img), 256, 256))
+        want = cv2.resize(img.astype(np.float32), (256, 256), interpolation=cv2.INTER_AREA)
+        np.testing.assert_allclose(got, want, atol=0.51)  # cv2 rounds interim sums
+
+    def test_integer_factor_exact(self, rng):
+        from isbfsar_tpu.ops.image import resize_area
+
+        img = rng.uniform(0, 255, (64, 64, 3)).astype(np.float32)
+        got = np.asarray(resize_area(jnp.asarray(img), 32, 32))
+        want = img.reshape(32, 2, 32, 2, 3).mean(axis=(1, 3))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
