@@ -54,27 +54,26 @@ def resize_area(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
 
 
 def yolo_preprocess(frame_bgr: jnp.ndarray, size: int = 256) -> jnp.ndarray:
-    """640x480 BGR uint8 frame -> (1, 3, size, size) RGB float32 in [0, 1].
+    """640x480 BGR uint8 frame -> (1, size, size, 3) RGB float32 in [0, 1].
 
-    Mirrors reference hpe.py:50-56 (resize, BGR->RGB, CHW, /255).
+    Mirrors reference hpe.py:50-56 (resize, BGR->RGB, /255); NHWC here
+    (XLA:TPU-native layout) where the reference emits CHW for TensorRT.
     """
     small = resize_area(frame_bgr, size, size)
-    rgb = small[..., ::-1]
-    chw = jnp.transpose(rgb, (2, 0, 1))[None]
-    return chw / 255.0
+    return (small[..., ::-1] / 255.0)[None]
 
 
 def ar_rgb_preprocess(crop_bgr: jnp.ndarray) -> jnp.ndarray:
-    """224x224 crop -> CHW float32 with the reference's whitening.
+    """224x224 crop -> HWC float32 with the reference's whitening.
 
     Note: the reference applies ``img * scale + shift`` (main.py:90,
     dataloader.py:81) — scale-then-shift, not the standard (img - mean)/std.
     We preserve that exact (idiosyncratic) transform since the AR checkpoints
-    were trained with it.
+    were trained with it. NHWC layout (the reference transposes to CHW for
+    torch; our models are NHWC).
     """
     x = crop_bgr.astype(jnp.float32) / 255.0
-    x = x * jnp.asarray(IMAGENET_SCALE) + jnp.asarray(IMAGENET_SHIFT)
-    return jnp.transpose(x, (2, 0, 1))
+    return x * jnp.asarray(IMAGENET_SCALE) + jnp.asarray(IMAGENET_SHIFT)
 
 
 def center_square_crop_resize(img: jnp.ndarray, bbox, out: int = 224) -> jnp.ndarray:

@@ -207,14 +207,13 @@ class TestImageOps:
     def test_yolo_preprocess_shape_range(self, rng):
         frame = rng.integers(0, 255, (480, 640, 3)).astype(np.uint8)
         out = np.asarray(ops_image().yolo_preprocess(jnp.asarray(frame)))
-        assert out.shape == (1, 3, 256, 256)
+        assert out.shape == (1, 256, 256, 3)  # NHWC
         assert out.min() >= 0.0 and out.max() <= 1.0
 
     def test_ar_rgb_preprocess_matches_host_formula(self, rng):
         crop = rng.integers(0, 255, (224, 224, 3)).astype(np.uint8)
         got = np.asarray(ops_image().ar_rgb_preprocess(jnp.asarray(crop)))
         want = (crop / 255.0) * np.array([0.229, 0.224, 0.225]) + np.array([0.485, 0.456, 0.406])
-        want = want.swapaxes(-1, -3).swapaxes(-1, -2)
         np.testing.assert_allclose(got, want, rtol=1e-5)
 
 
