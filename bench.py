@@ -1,39 +1,50 @@
-"""Headline benchmark: end-to-end streaming FPS on one TPU chip.
+"""Benchmarks on one TPU chip. Default: headline e2e streaming FPS.
 
-Measures the fused frame->pose->embed->match(->focus) pipeline
-(isbfsar_tpu/pipeline.py) on a synthetic 640x480 BGR stream with a 2-action
-support set: production model sizes (YOLOv4 width 1.0, EfficientNetV2-L),
-honest per-frame cost including the host->device frame transfer and the
-host-side flag decode. Baseline: 30 FPS (BASELINE.json target; the
-reference never published a number — its RealSense pipeline is 30-FPS-class
-on an RTX GPU per SURVEY §6).
+Headline (BASELINE.json config 5): the fused frame->pose->embed->match->focus
+pipeline on a synthetic 640x480 BGR stream with a 2-action support set —
+production model sizes (YOLOv4 width 1.0, EfficientNetV2-L), honest per-frame
+cost including the host->device frame transfer and host-side flag decode.
+Baseline: 30 FPS (the reference publishes no FPS; its RealSense pipeline is
+30-FPS-class on an RTX GPU per SURVEY §6). Prints ONE JSON line.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The other BASELINE.json configs run via ``--config``:
+  ar     — AR transformer alone: embed + match skeleton clips vs 5 actions
+  fsos   — batched open-set eval forward (logits + discriminator)
+  hpe    — HPE module alone on single frames
+  focus  — focus module alone on frames
+  full   — (default) the streaming headline
 """
 
 from __future__ import annotations
 
+import argparse
+import dataclasses
 import json
-import os
 import sys
 import time
 
 import numpy as np
 
-def main() -> None:
+
+def _bench_loop(fn, n: int = 100, warmup: int = 5):
     import jax
 
-    # Persistent XLA compile cache: warmup compiles the big fused programs
-    # once (~15 min through the remote-compile relay); later runs reuse them.
-    jax.config.update("jax_compilation_cache_dir", "/tmp/isbfsar_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    for _ in range(warmup):
+        out = fn()
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn()
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n
+
+
+def bench_full() -> dict:
+    import jax
 
     from isbfsar_tpu.configs import PipelineConfig
     from isbfsar_tpu.pipeline import FusedPipeline
     from isbfsar_tpu.runtime.source import SyntheticSource
-
-    import dataclasses
 
     config = PipelineConfig()
     # Random-init weights never clear the reference's 0.3 confidence gate;
@@ -50,9 +61,7 @@ def main() -> None:
         pipe.ar.train(
             {
                 "flag": f"action_{i}",
-                "data": {
-                    "poses": rng.normal(size=(config.ar.seq_len, 90)).astype(np.float32)
-                },
+                "data": {"poses": rng.normal(size=(config.ar.seq_len, 90)).astype(np.float32)},
                 "requires_focus": False,
             }
         )
@@ -65,10 +74,8 @@ def main() -> None:
 
     source = SyntheticSource(640, 480)
     frames = [source.read()[1] for _ in range(32)]
-
-    # prime the window so the AR path is in steady state
-    for f in frames[:20]:
-        out = pipe.step(f)
+    for f in frames[:20]:  # prime the AR window
+        pipe.step(f)
 
     # synchronous per-frame latency (dispatch -> decoded elements)
     n = 100
@@ -83,8 +90,7 @@ def main() -> None:
     # micro-batched streaming throughput (one device round-trip per 8 frames;
     # amortizes the host<->device sync that dominates on remote-attached chips)
     batch = 8
-    warm = pipe.stream_batched((frames[i % len(frames)] for i in range(2 * batch)), batch)
-    for elements_raw in warm:
+    for _ in pipe.stream_batched((frames[i % len(frames)] for i in range(2 * batch)), batch):
         pass
     n_stream = 128
     t_start = time.time()
@@ -92,8 +98,7 @@ def main() -> None:
     for out in pipe.stream_batched((frames[i % len(frames)] for i in range(n_stream)), batch):
         elements = pipe.decode(out)
         count += 1
-    total = time.time() - t_start
-    fps = count / total
+    fps = count / (time.time() - t_start)
 
     print(
         f"[bench] fps={fps:.1f} (stream batch={batch}) p50={p50:.2f}ms "
@@ -101,17 +106,114 @@ def main() -> None:
         f"actions={list(elements.get('actions', {}).keys())}",
         file=sys.stderr,
     )
+    return {
+        "metric": "e2e_fps_pose_embed_match_640x480_v5e1",
+        "value": round(fps, 2),
+        "unit": "fps",
+        "vs_baseline": round(fps / 30.0, 3),
+    }
 
-    print(
-        json.dumps(
-            {
-                "metric": "e2e_fps_pose_embed_match_640x480_v5e1",
-                "value": round(fps, 2),
-                "unit": "fps",
-                "vs_baseline": round(fps / 30.0, 3),
-            }
-        )
-    )
+
+def bench_ar() -> dict:
+    """BASELINE config 1: AR transformer alone vs a 5-action support set."""
+    import jax
+    import jax.numpy as jnp
+
+    from isbfsar_tpu.configs import ARConfig
+    from isbfsar_tpu.ar.recognizer import ActionRecognizer
+
+    cfg = ARConfig.for_input("skeleton")
+    ar = ActionRecognizer(cfg)
+    rng = np.random.default_rng(0)
+    for i in range(5):
+        ar.train({"flag": f"a{i}", "data": {"poses": rng.normal(size=(cfg.seq_len, 90)).astype(np.float32)}, "requires_focus": False})
+    for _ in range(cfg.seq_len):
+        ar.inference({"sk": rng.normal(size=90).astype(np.float32)})
+
+    query = {"sk": jnp.asarray(rng.normal(size=(1, cfg.seq_len, 90)), jnp.float32)}
+    mask = jnp.asarray(ar.support_mask)
+    dt = _bench_loop(lambda: ar._infer_cached(ar.params, query, ar.support_features, mask))
+    print(f"[bench:ar] cached match {dt*1000:.3f} ms -> {1/dt:.0f} inferences/s", file=sys.stderr)
+    return {"metric": "ar_cached_match_latency", "value": round(dt * 1000, 3),
+            "unit": "ms", "vs_baseline": round((1 / dt) / 30.0, 2)}
+
+
+def bench_fsos(batch: int = 28) -> dict:
+    """BASELINE config 2: batched open-set eval forward (logits + disc)."""
+    import jax
+    import jax.numpy as jnp
+
+    from isbfsar_tpu.configs import ARConfig
+    from isbfsar_tpu.models.trx import TRXOS
+
+    cfg = ARConfig.for_input("skeleton")
+    model = TRXOS(cfg)
+    rng = np.random.default_rng(0)
+    q = {"sk": jnp.asarray(rng.normal(size=(batch, cfg.seq_len, 90)), jnp.float32)}
+    s = {"sk": jnp.asarray(rng.normal(size=(batch, cfg.way, cfg.seq_len, 90)), jnp.float32)}
+    mask = jnp.ones((batch, cfg.way), bool)
+    params = jax.jit(lambda k: model.init(k, q, mask, support_data=s))(jax.random.key(0))
+    fwd = jax.jit(lambda p: model.apply(p, q, mask, support_data=s)["is_true"])
+    dt = _bench_loop(lambda: fwd(params))
+    clips_per_s = batch / dt
+    print(f"[bench:fsos] batch={batch}: {dt*1000:.2f} ms -> {clips_per_s:.0f} clips/s", file=sys.stderr)
+    return {"metric": "fsos_eval_clips_per_s", "value": round(clips_per_s, 1),
+            "unit": "clips/s", "vs_baseline": round(clips_per_s / 30.0, 2)}
+
+
+def bench_hpe() -> dict:
+    """BASELINE config 3: HPE module alone on single frames."""
+    import jax
+    import jax.numpy as jnp
+
+    from isbfsar_tpu.configs import CameraIntrinsics, HPEConfig
+    from isbfsar_tpu.hpe.estimator import HumanPoseEstimator
+
+    est = HumanPoseEstimator(HPEConfig(yolo_thresh=0.0), CameraIntrinsics())
+    frame = jax.device_put(np.zeros((480, 640, 3), np.uint8))
+    dt = _bench_loop(lambda: est._estimate_jit(est.params, frame))
+    print(f"[bench:hpe] {dt*1000:.2f} ms/frame -> {1/dt:.0f} FPS", file=sys.stderr)
+    return {"metric": "hpe_frame_latency", "value": round(dt * 1000, 2),
+            "unit": "ms", "vs_baseline": round((1 / dt) / 30.0, 2)}
+
+
+def bench_focus() -> dict:
+    """BASELINE config 4: focus module alone on frames."""
+    import jax
+
+    from isbfsar_tpu.configs import CameraIntrinsics, FocusConfig
+    from isbfsar_tpu.focus.detector import FocusDetector
+
+    det = FocusDetector(FocusConfig(), CameraIntrinsics())
+    frame = jax.device_put(np.zeros((480, 640, 3), np.uint8))
+    dt = _bench_loop(lambda: det._forward(det.params, frame))
+    print(f"[bench:focus] {dt*1000:.2f} ms/frame -> {1/dt:.0f} FPS", file=sys.stderr)
+    return {"metric": "focus_frame_latency", "value": round(dt * 1000, 2),
+            "unit": "ms", "vs_baseline": round((1 / dt) / 30.0, 2)}
+
+
+def main() -> None:
+    import jax
+
+    # Persistent XLA compile cache: warmup compiles the big fused programs
+    # once (~15 min through the remote-compile relay); later runs reuse them.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/isbfsar_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", default="full",
+                        choices=["full", "ar", "fsos", "hpe", "focus"])
+    args = parser.parse_args()
+
+    result = {
+        "full": bench_full,
+        "ar": bench_ar,
+        "fsos": bench_fsos,
+        "hpe": bench_hpe,
+        "focus": bench_focus,
+    }[args.config]()
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
