@@ -130,13 +130,15 @@ class ActionRecognizer:
         else:
             probs, is_true = self._infer_cached(self.params, query, self.support_features, mask)
 
-        probs = np.asarray(probs)
+        # one round-trip for both outputs (per-leaf fetches are slow on
+        # remote-attached chips)
+        probs, is_true = jax.device_get((probs, is_true))
         results = {
             name: float(probs[i])
             for i, name in enumerate(self.class_order)
             if self.support_mask[i] and name is not None
         }
-        return results, float(np.asarray(is_true)), dict(self.requires_focus)
+        return results, float(is_true), dict(self.requires_focus)
 
     def train(self, inp: Dict) -> None:
         """Insert/overwrite a class in the support set (reference ar.py:94-96).

@@ -145,11 +145,22 @@ class FocusDetector:
 
     def estimate_async(self, frame):
         """Dispatch the fused face/pose/gaze program without blocking."""
-        return self._forward(self.params, jnp.asarray(frame))
+        if isinstance(frame, np.ndarray):
+            frame = jax.device_put(np.ascontiguousarray(frame))
+        return self._forward(self.params, frame)
 
     def estimate_collect(self, out, return_image: bool = False):
-        """Block on a dispatched program, apply the close/far heuristic."""
+        """Block on a dispatched program, apply the close/far heuristic.
+
+        ONE device_get for all fields (per-leaf fetches each pay a sync
+        round-trip on remote-attached chips). The heavy normalized_image is
+        excluded unless requested.
+        """
         cfg = self.config
+        if not return_image and hasattr(out.get("normalized_image"), "devices"):
+            out = dict(out)
+            out["normalized_image"] = None
+        out = jax.device_get(out)
         if not bool(out["found"]):
             return None
 

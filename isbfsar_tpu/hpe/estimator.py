@@ -160,24 +160,31 @@ class HumanPoseEstimator:
         orchestrator dispatches HPE and focus back-to-back, then collects —
         same overlap contract, no process boundary.
         """
-        frame = jnp.asarray(frame)
+        # device_put, not jnp.asarray: the latter routes through a slow
+        # conversion path on remote-attached chips (~40ms vs ~1ms for 921KB).
+        frame = jax.device_put(np.ascontiguousarray(frame)) if isinstance(frame, np.ndarray) else frame
         if self.just_box:
             return ("box", self._box_jit(self.params, frame))
         return ("full", self._estimate_jit(self.params, frame))
 
     def estimate_collect(self, token) -> Optional[Dict[str, Any]]:
-        """Block on a dispatched program and decode the dict/None contract."""
+        """Block on a dispatched program and decode the dict/None contract.
+
+        ONE device_get for the whole result: per-leaf fetches each pay a
+        full sync round-trip on remote-attached chips (~300ms each there).
+        """
         kind, raw = token
+        raw = jax.device_get(raw)
         if kind == "box":
             bbox, conf, found = raw
             if not bool(found):
                 return None
-            x1, y1, x2, y2 = np.asarray(bbox)
+            x1, y1, x2, y2 = bbox
             return {"bbox": (int(x1), int(y1), int(x2), int(y2))}
         pose, bbox, conf, found, visible = raw
         if not bool(found) or not bool(visible):
             return None
-        x1, x2, y1, y2 = (int(v) for v in np.asarray(bbox))
+        x1, x2, y1, y2 = (int(v) for v in bbox)
         return {
             "pose": np.asarray(pose),
             "edges": self.edges,

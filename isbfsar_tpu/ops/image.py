@@ -49,8 +49,12 @@ def resize_area(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     wr = jnp.asarray(_area_weights(h, out_h))
     wc = jnp.asarray(_area_weights(w, out_w))
     hi = jax.lax.Precision.HIGHEST
-    x = jnp.einsum("ij,jwc->iwc", wr, img.astype(jnp.float32), precision=hi)
-    return jnp.einsum("kw,iwc->ikc", wc, x, precision=hi)
+    # channels as the batch dim keeps both contractions MXU-shaped
+    # ((out_h, h) @ (h, w) then @ (w, out_w)) instead of an N=3 matmul.
+    chw = jnp.transpose(img.astype(jnp.float32), (2, 0, 1))  # (c, h, w)
+    x = jnp.einsum("ij,cjw->ciw", wr, chw, precision=hi)
+    out = jnp.einsum("ciw,kw->cik", x, wc, precision=hi)
+    return jnp.transpose(out, (1, 2, 0))
 
 
 def yolo_preprocess(frame_bgr: jnp.ndarray, size: int = 256) -> jnp.ndarray:

@@ -89,9 +89,13 @@ class Orchestrator:
             img = self._in_queue.get()["rgb"]
         elements["img"] = img
 
-        # fan-out: dispatch both device programs, then join (main.py:73-77)
-        hpe_token = self.hpe.estimate_async(img)
-        focus_token = self.focus.estimate_async(img)
+        # fan-out: dispatch both device programs, then join (main.py:73-77).
+        # One H2D for the frame, shared by both programs.
+        import jax
+
+        frame_dev = jax.device_put(np.ascontiguousarray(img))
+        hpe_token = self.hpe.estimate_async(frame_dev)
+        focus_token = self.focus.estimate_async(frame_dev)
 
         hpe_res = self.hpe.estimate_collect(hpe_token)
 

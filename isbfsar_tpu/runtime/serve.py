@@ -20,18 +20,31 @@ from isbfsar_tpu.runtime.orchestrator import Orchestrator
 
 
 def main() -> None:
+    import dataclasses
+
+    from isbfsar_tpu.utils.cache import enable_compile_cache
+
     parser = argparse.ArgumentParser()
     parser.add_argument("--hub", default="localhost")
     parser.add_argument("--input-type", default="skeleton",
                         choices=["skeleton", "rgb", "hybrid"])
     parser.add_argument("--save-dir", default="saved")
+    parser.add_argument("--yolo-thresh", type=float, default=None,
+                        help="override person-confidence gate (e.g. 0.0 for "
+                             "random-weight smoke runs)")
     args = parser.parse_args()
+
+    enable_compile_cache()
 
     client = QueueClient(args.hub)
     in_q = client.get_queue("source_human")
     out_q = client.get_queue("human_sink")
 
     config = PipelineConfig.for_input(args.input_type)
+    if args.yolo_thresh is not None:
+        config = dataclasses.replace(
+            config, hpe=dataclasses.replace(config.hpe, yolo_thresh=args.yolo_thresh)
+        )
     orch = Orchestrator(config, in_queue=in_q, out_queue=out_q, save_dir=args.save_dir)
     print("[isbfsar-tpu] warming up device programs...")
     orch.hpe.warmup()

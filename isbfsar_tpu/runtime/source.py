@@ -154,8 +154,12 @@ def run_source(
         to_compute.put({"rgb": frame, "msg": msg})
         n += 1
         elements = from_compute.get()
-        if "ACK" in elements:  # add-command handshake (reference output.py:162-163)
-            elements = from_compute.get()
+        if "ACK" in elements:
+            # add-command handshake: the ACK replaces this cycle's elements
+            # (reference source keeps looping and feeds the acquisition
+            # frames; a second blocking get here would deadlock — the
+            # compute side is already waiting for the next frame).
+            continue
         if visualizer is not None:
             visualizer.show(elements)
         if msg in ("close", "exit", "quit", "q"):
