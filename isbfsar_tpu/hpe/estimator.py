@@ -74,6 +74,26 @@ class HumanPoseEstimator:
             self.joint_matrix = jnp.asarray(expand)
             self.edges = None
 
+        if config.num_aug > 0:
+            from isbfsar_tpu.ops.geometry import tta_params
+
+            flip, rotflip, gammas, scales = tta_params(config.num_aug)
+            # the reference's scale linspace yields num_aug-1 entries for
+            # even num_aug (misc.py:318-320 off-by-one; it only ever ran odd
+            # counts) — pad with the last scale to keep shapes consistent
+            if len(scales) < config.num_aug:
+                scales = np.concatenate([scales, np.repeat(scales[-1:], config.num_aug - len(scales))])
+            self._tta = {
+                "keep": jnp.asarray(~flip, jnp.float32),  # flipped augs would
+                # need left/right joint swapping to aggregate; exclude them
+                # (the reference computes flipped augs and discards all but
+                # aug 0 anyway, hpe.py:169)
+                "rotflip": jnp.asarray(rotflip),
+                "scales": jnp.asarray(scales, jnp.float32),
+            }
+        else:
+            self._tta = None
+
         self.params = params if params is not None else self._init_params(seed)
         self._estimate_jit = jax.jit(self._estimate_impl)
         self._box_jit = jax.jit(self._box_impl)
@@ -128,25 +148,46 @@ class HumanPoseEstimator:
 
         f32 = lambda v: v.astype(jnp.float32)
         new_k, rot = virtual_camera(f32(x1), f32(x2), f32(y1), f32(y2), self.k_matrix, cfg.crop_size)
-        h_mat = warp_matrix(self.k_matrix, new_k, rot)  # (1, 3, 3)
 
-        crop = warp_image(frame.astype(jnp.int32), h_mat, cfg.crop_size)  # (1, c, c, 3)
+        if self._tta is not None:
+            # Test-time augmentation (reference hpe.py:88-97): scaled
+            # intrinsics + rotated/flipped virtual cameras, batched through
+            # the same crop->backbone->decode->reconstruct chain.
+            a = cfg.num_aug
+            new_k = jnp.tile(new_k[None], (a, 1, 1))
+            new_k = new_k.at[:, :2, :2].multiply(self._tta["scales"][:, None, None])
+            rot = mm(self._tta["rotflip"], jnp.tile(rot, (a, 1, 1)))
+        else:
+            new_k = new_k[None]  # (1, 3, 3)
+
+        h_mat = warp_matrix(self.k_matrix, new_k, rot)  # (n, 3, 3)
+        crop = warp_image(frame.astype(jnp.int32), h_mat, cfg.crop_size)  # (n, c, c, 3)
         bbone_in = crop.astype(jnp.float32) / 255.0
 
         feats = self.bbone.apply(params["bbone"], bbone_in)
-        logits = self.head.apply(params["head"], feats)  # (1, 8, 8, 288)
+        logits = self.head.apply(params["head"], feats)  # (n, 8, 8, 288)
 
         logits2d, logits3d = split_head_logits(logits)
-        pred3d = decode_heatmap3d(logits3d)  # (1, 32, 3) in [0, 1]
-        pred2d = decode_heatmap2d(logits2d)  # (1, 32, 2) in [0, 255]
+        pred3d = decode_heatmap3d(logits3d)  # (n, 32, 3) in [0, 1]
+        pred2d = decode_heatmap2d(logits2d)  # (n, 32, 2) in [0, 255]
 
-        fov = is_within_fov(pred2d)  # (1, 32)
-        visible = jnp.sum(fov) >= fov.size / 4  # reference hpe.py:152
+        fov = is_within_fov(pred2d)  # (n, 32)
 
-        pred3d = reconstruct_absolute(pred2d, pred3d, new_k[None], fov)
+        pred3d = reconstruct_absolute(pred2d, pred3d, new_k, fov)
         pred3d = mm(pred3d, rot)  # back to original camera space (hpe.py:159)
-        pose = jnp.einsum("bjc,jn->bnc", pred3d, self.joint_matrix,
-                          precision=jax.lax.Precision.HIGHEST)[0]
+        pose_all = jnp.einsum("bjc,jn->bnc", pred3d, self.joint_matrix,
+                              precision=jax.lax.Precision.HIGHEST)
+
+        if self._tta is not None:
+            # aggregate over non-flipped augs (visibility-weighted mean);
+            # the reference computes the batch and keeps only aug 0
+            w = self._tta["keep"] * (jnp.sum(fov, axis=1) >= fov.shape[1] / 4)
+            w = w / jnp.maximum(jnp.sum(w), 1.0)
+            pose = jnp.einsum("b,bnc->nc", w, pose_all)
+            visible = jnp.sum(fov[0]) >= fov.shape[1] / 4
+        else:
+            pose = pose_all[0]
+            visible = jnp.sum(fov) >= fov.size / 4  # reference hpe.py:152
 
         bbox = jnp.stack([x1, x2, y1, y2])  # reference return order (hpe.py:173)
         return pose, bbox, conf, found, visible

@@ -113,3 +113,25 @@ class TestPipeline:
         assert set(res.keys()) == {"bbox"}
         x1, y1, x2, y2 = res["bbox"]
         assert x2 > x1 and y2 > y1
+
+
+class TestTTA:
+    def test_num_aug_path(self, estimator, rng):
+        """num_aug>0 runs the batched augmentation chain and aggregates."""
+        aug = HumanPoseEstimator(
+            dataclasses.replace(TEST_HPE, yolo_thresh=0.0, num_aug=4),
+            CameraIntrinsics(),
+            params=estimator.params,
+            backbone_stages=V2_TINY,
+            frame_shape=(120, 160),
+            yolo_width=0.25,
+        )
+        frame = rng.integers(0, 255, (120, 160, 3)).astype(np.uint8)
+        res = aug.estimate(frame)
+        assert res is not None
+        assert res["pose"].shape == (30, 3)
+        assert np.isfinite(res["pose"]).all()
+        # aug-0 equals the plain path's camera; poses should be in the same
+        # ballpark as the single-crop estimate (agg over rotated views)
+        base = estimator.estimate(frame)
+        assert np.linalg.norm(res["pose"] - base["pose"]) / (np.linalg.norm(base["pose"]) + 1e-9) < 1.0
