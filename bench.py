@@ -53,7 +53,9 @@ def bench_full() -> dict:
     config = dataclasses.replace(config, hpe=dataclasses.replace(config.hpe, yolo_thresh=0.0))
     t0 = time.time()
     print("[bench] building pipeline (param init)...", file=sys.stderr)
-    pipe = FusedPipeline(config, with_focus=True)
+    # i420 transport: cameras emit planar YUV natively; half the bytes of
+    # BGR24 over the host->device link, converted to BGR in-graph.
+    pipe = FusedPipeline(config, with_focus=True, input_format="i420")
     print(f"[bench] built in {time.time() - t0:.1f}s", file=sys.stderr)
 
     rng = np.random.default_rng(0)
@@ -72,8 +74,10 @@ def bench_full() -> dict:
     pipe.warmup(3)
     print(f"[bench] warmup done in {time.time() - t0:.1f}s", file=sys.stderr)
 
+    from isbfsar_tpu.ops.image import bgr_to_i420
+
     source = SyntheticSource(640, 480)
-    frames = [source.read()[1] for _ in range(32)]
+    frames = [bgr_to_i420(source.read()[1]) for _ in range(32)]
     for f in frames[:20]:  # prime the AR window
         pipe.step(f)
 

@@ -104,3 +104,35 @@ def center_square_crop_resize(img: jnp.ndarray, bbox, out: int = 224) -> jnp.nda
     ys = jnp.clip(ys, 0, h - 1)
     xs = jnp.clip(xs, 0, w - 1)
     return img[ys][:, xs]
+
+
+def i420_to_bgr(yuv: jnp.ndarray, height: int) -> jnp.ndarray:
+    """Planar I420 (YUV 4:2:0) -> BGR float32, in-graph.
+
+    yuv: (height * 3 // 2, width) uint8 — the layout cameras emit natively
+    (and cv2.COLOR_BGR2YUV_I420 produces). Cuts host->device bytes 2x vs
+    BGR24, which matters when the transfer link is the pipeline bottleneck
+    (remote-attached chips). Studio-range BT.601 (what cv2's I420 codecs
+    use: Y in [16, 235], scale 1.164).
+    """
+    width = yuv.shape[1]
+    y = (yuv[:height].astype(jnp.float32) - 16.0) * 1.164
+    u_plane = yuv[height : height + height // 4].reshape(height // 2, width // 2)
+    v_plane = yuv[height + height // 4 :].reshape(height // 2, width // 2)
+
+    def up2(p):  # nearest 2x upsample
+        return jnp.repeat(jnp.repeat(p, 2, axis=0), 2, axis=1).astype(jnp.float32)
+
+    u = up2(u_plane) - 128.0
+    v = up2(v_plane) - 128.0
+    r = y + 1.596 * v
+    g = y - 0.391 * u - 0.813 * v
+    b = y + 2.018 * u
+    return jnp.clip(jnp.stack([b, g, r], axis=-1), 0.0, 255.0)
+
+
+def bgr_to_i420(bgr: "np.ndarray") -> "np.ndarray":
+    """Host-side I420 encode (numpy/cv2) for sources that produce BGR."""
+    import cv2
+
+    return cv2.cvtColor(bgr, cv2.COLOR_BGR2YUV_I420)

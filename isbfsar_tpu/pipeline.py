@@ -83,11 +83,18 @@ class FusedPipeline:
         ar: Optional[ActionRecognizer] = None,
         focus: Optional[FocusDetector] = None,
         with_focus: bool = True,
+        input_format: str = "bgr",
     ):
+        """input_format: "bgr" ((H, W, 3) uint8) or "i420" ((H*3/2, W) uint8
+        planar YUV — the native camera format; half the host->device bytes,
+        converted to BGR in-graph). Use i420 when the transfer link is the
+        bottleneck (remote-attached chips)."""
         self.config = config or PipelineConfig()
         assert self.config.main.input_type == "skeleton", (
             "FusedPipeline fuses the skeleton mode; rgb/hybrid use Orchestrator"
         )
+        assert input_format in ("bgr", "i420")
+        self.input_format = input_format
         self.hpe = hpe or HumanPoseEstimator(self.config.hpe, self.config.intrinsics)
         self.ar = ar or ActionRecognizer(self.config.ar)
         self.with_focus = with_focus
@@ -141,12 +148,22 @@ class FusedPipeline:
 
     # ----------------------------------------------------------- fused step
 
+    def _decode_frame(self, frame):
+        """Raw transport frame -> (H, W, 3) BGR on device."""
+        if self.input_format == "i420":
+            from isbfsar_tpu.ops.image import i420_to_bgr
+
+            return i420_to_bgr(frame, self.hpe.frame_shape[0])
+        return frame
+
     def _step_impl(self, params, frame, support_features, state, support_mask):
-        """frame (H, W, 3) uint8; support_features (way, L, D); support_mask (way,).
+        """frame: (H, W, 3) uint8 BGR or (H*3/2, W) uint8 I420;
+        support_features (way, L, D); support_mask (way,).
 
         Returns (packed f32 vector, new_state).
         """
         cfg = self.config.ar
+        frame = self._decode_frame(frame)
 
         pose, bbox, conf, found, visible = self.hpe._estimate_impl(params["hpe"], frame)
         pose_ok = jnp.logical_and(found, visible)
@@ -210,6 +227,7 @@ class FusedPipeline:
         """
         cfg = self.config.ar
         b = frames.shape[0]
+        frames = jax.vmap(self._decode_frame)(frames)
 
         pose, bbox, conf, found, visible = jax.vmap(
             self.hpe._estimate_impl, in_axes=(None, 0)
@@ -411,9 +429,12 @@ class FusedPipeline:
                 elements["face_bbox"] = face.bbox.reshape(-1)
         return elements
 
-    def warmup(self, n: int = 2) -> None:
+    def frame_shape(self):
         h, w = self.hpe.frame_shape
-        dummy = np.zeros((h, w, 3), np.uint8)
+        return (h * 3 // 2, w) if self.input_format == "i420" else (h, w, 3)
+
+    def warmup(self, n: int = 2) -> None:
+        dummy = np.zeros(self.frame_shape(), np.uint8)
         for _ in range(n):
             out = self.step(dummy)
         jax.block_until_ready(self._state.window)

@@ -241,3 +241,18 @@ class TestResizeArea:
         got = np.asarray(resize_area(jnp.asarray(img), 32, 32))
         want = img.reshape(32, 2, 32, 2, 3).mean(axis=(1, 3))
         np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+class TestI420:
+    def test_roundtrip_matches_cv2(self, rng):
+        import cv2
+
+        from isbfsar_tpu.ops.image import bgr_to_i420, i420_to_bgr
+
+        bgr = rng.integers(0, 255, (48, 64, 3)).astype(np.uint8)
+        yuv = bgr_to_i420(bgr)
+        got = np.asarray(i420_to_bgr(jnp.asarray(yuv), 48))
+        want = cv2.cvtColor(yuv, cv2.COLOR_YUV2BGR_I420).astype(np.float32)
+        # both decoders quantize differently; 4:2:0 chroma is lossy anyway
+        assert np.abs(got - want).mean() < 2.0
+        assert np.abs(got - want).max() <= 16.0
