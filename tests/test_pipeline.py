@@ -132,3 +132,27 @@ class TestGraftEntry:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)
+
+
+class TestI420Pipeline:
+    def test_i420_matches_bgr_closely(self, pipe):
+        """i420 transport must yield near-identical pipeline outputs (chroma
+        subsampling introduces small pixel error only)."""
+        from isbfsar_tpu.ops.image import bgr_to_i420
+
+        p2 = FusedPipeline(
+            pipe.config, hpe=pipe.hpe, ar=pipe.ar, with_focus=False,
+            input_format="i420",
+        )
+        p2.start()
+        src = SyntheticSource(FRAME_SHAPE[1], FRAME_SHAPE[0])
+        frame = src.read()[1]
+
+        pipe._state = pipe.init_state()
+        bgr_out = pipe.step(frame)
+        p2._state = p2.init_state()
+        yuv_out = p2.step(bgr_to_i420(frame))
+
+        assert bool(yuv_out["pose_ok"]) == bool(bgr_out["pose_ok"])
+        # poses from slightly different pixels; should be close, not exact
+        assert np.abs(yuv_out["bbox"] - bgr_out["bbox"]).max() <= 8
