@@ -118,17 +118,19 @@ class TemporalCrossTransformer(nn.Module):
         gathered = jnp.take(feats, self.tuples, axis=-2)  # (..., T, set, D)
         return gathered.reshape(gathered.shape[:-2] + (self.set_size * feats.shape[-1],))
 
-    def __call__(self, support_features, support_mask, query_features):
-        """support_features: (b, way, L, D); support_mask: (b, way) bool;
-        query_features: (b, L, D). Returns dict(logits (b, way),
-        diffs (b, way, T, out_dim), prototypes (b, way, T, out_dim)).
-        """
-        s_tup = self._tuplify(support_features)  # (b, way, T, 2D)
-        q_tup = self._tuplify(query_features[:, None])[:, 0]  # (b, T, 2D)
+    def support_kv(self, support_features):
+        """Precompute the support-side keys/values: (b, way, L, D) ->
+        ((b, way, T, out), (b, way, T, out)). These depend only on the
+        support set — the streaming pipeline computes them once per
+        support-set edit instead of per frame (a deeper cache than the
+        reference's feature cache, ar.py:56-74)."""
+        s_tup = self._tuplify(support_features)
+        return self.norm_k(self.k_linear(s_tup)), self.v_linear(s_tup)
 
-        s_k = self.norm_k(self.k_linear(s_tup))
+    def match(self, s_k, s_v, support_mask, query_features):
+        """Cross-attention match of one query clip against cached support K/V."""
+        q_tup = self._tuplify(query_features[:, None])[:, 0]  # (b, T, 2D)
         q_k = self.norm_k(self.k_linear(q_tup))
-        s_v = self.v_linear(s_tup)
         q_v = self.v_linear(q_tup)
 
         # (b, way, T_q, T_s): query-tuple x support-tuple similarities per class.
@@ -145,6 +147,14 @@ class TemporalCrossTransformer(nn.Module):
         # attention exposed for explainability (the reference's add_hook
         # score capture, model.py:56-57,110-111)
         return {"logits": logits, "diffs": diff, "prototypes": proto, "attention": attn}
+
+    def __call__(self, support_features, support_mask, query_features):
+        """support_features: (b, way, L, D); support_mask: (b, way) bool;
+        query_features: (b, L, D). Returns dict(logits (b, way),
+        diffs (b, way, T, out_dim), prototypes (b, way, T, out_dim)).
+        """
+        s_k, s_v = self.support_kv(support_features)
+        return self.match(s_k, s_v, support_mask, query_features)
 
 
 class TRXOS(nn.Module):
@@ -221,3 +231,28 @@ class TRXOS(nn.Module):
             "support_features": support_features,
             "attention": out["attention"],
         }
+
+    # ------------------------------------------------- cached-KV fast path
+
+    def support_kv(self, support_data=None, support_features=None, train: bool = False):
+        """Embed the support set and project its transformer keys/values —
+        the once-per-support-edit half of the streaming split."""
+        if support_features is None:
+            support_features = self.extract_features(support_data, train=train)
+        s_k, s_v = self.transformer.support_kv(support_features)
+        return {"s_k": s_k, "s_v": s_v, "features": support_features}
+
+    def match_cached(self, query_data, support_mask, s_k, s_v):
+        """Per-frame half: embed the query, match against cached K/V, decide.
+        Identical math to __call__ with the same support set."""
+        query_features = self.extract_features(query_data)
+        out = self.transformer.match(s_k, s_v, support_mask, query_features)
+        logits = out["logits"]
+        b = logits.shape[0]
+        chosen = jnp.argmax(logits, axis=1)
+        chosen_diff = out["diffs"][jnp.arange(b), chosen]
+        if self.config.model == "DISC":
+            decision = self.discriminator(chosen_diff)
+        else:
+            decision = jnp.exp(jnp.max(logits, axis=1, keepdims=True))
+        return {"logits": logits, "is_true": decision, "attention": out["attention"]}

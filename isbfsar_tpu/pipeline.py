@@ -156,9 +156,9 @@ class FusedPipeline:
             return i420_to_bgr(frame, self.hpe.frame_shape[0])
         return frame
 
-    def _step_impl(self, params, frame, support_features, state, support_mask):
+    def _step_impl(self, params, frame, support_kv, state, support_mask):
         """frame: (H, W, 3) uint8 BGR or (H*3/2, W) uint8 I420;
-        support_features (way, L, D); support_mask (way,).
+        support_kv: (s_k, s_v) each (way, T, out); support_mask (way,).
 
         Returns (packed f32 vector, new_state).
         """
@@ -179,10 +179,13 @@ class FusedPipeline:
             pose_ok, jnp.minimum(state.n_valid + 1, cfg.seq_len), state.n_valid
         )
 
-        # AR match against the cached support features
+        # AR match against the cached support K/V (support-side transformer
+        # work happens once per support-set edit, not per frame)
+        s_k, s_v = support_kv
         query = {"sk": window[None]}
         out = self.ar.model.apply(
-            params["ar"], query, support_mask[None], support_features=support_features[None]
+            params["ar"], query, support_mask[None], s_k[None], s_v[None],
+            method="match_cached",
         )
         probs = jax.nn.softmax(out["logits"][0])
         is_true = out["is_true"][0, 0]
@@ -216,7 +219,7 @@ class FusedPipeline:
 
         return self.layout.pack(values), StreamState(window=window, n_valid=n_valid)
 
-    def _step_batch_impl(self, params, frames, support_features, state, support_mask):
+    def _step_batch_impl(self, params, frames, support_kv, state, support_mask):
         """Micro-batched step: B frames -> (B, vec) packed outputs + state.
 
         Identical per-frame semantics to :meth:`_step_impl`; the point is
@@ -249,14 +252,15 @@ class FusedPipeline:
 
         state, (windows, n_valids) = jax.lax.scan(scan_body, state, (sks, pose_ok))
 
-        # batched AR match: all B windows against the shared support set
+        # batched AR match: all B windows against the shared cached K/V
+        s_k, s_v = support_kv
         out = self.ar.model.apply(
             params["ar"],
             {"sk": windows},
             jnp.broadcast_to(support_mask[None], (b, support_mask.shape[0])),
-            support_features=jnp.broadcast_to(
-                support_features[None], (b,) + support_features.shape
-            ),
+            jnp.broadcast_to(s_k[None], (b,) + s_k.shape),
+            jnp.broadcast_to(s_v[None], (b,) + s_v.shape),
+            method="match_cached",
         )
         probs = jax.nn.softmax(out["logits"], axis=-1)
         is_true = out["is_true"][:, 0]
@@ -313,6 +317,10 @@ class FusedPipeline:
                 (cfg.way, cfg.seq_len, cfg.trans_linear_in_dim), jnp.float32
             )
         self._support_features = self.ar.support_features
+        kv = jax.jit(
+            lambda p, f: self.ar.model.apply(p, support_features=f[None], method="support_kv")
+        )(self.ar.params, self._support_features)
+        self._support_kv = (kv["s_k"][0], kv["s_v"][0])
         self._support_mask = jnp.asarray(self.ar.support_mask)
         self._device_params = self._params()
 
@@ -321,7 +329,7 @@ class FusedPipeline:
         packed, self._state = self._step(
             self._device_params,
             jax.device_put(np.ascontiguousarray(frame, np.uint8)),
-            self._support_features,
+            self._support_kv,
             self._state,
             self._support_mask,
         )
@@ -353,7 +361,7 @@ class FusedPipeline:
         packed, self._state = self._step_batch(
             self._device_params,
             jax.device_put(np.ascontiguousarray(frames, np.uint8)),
-            self._support_features,
+            self._support_kv,
             self._state,
             self._support_mask,
         )

@@ -49,7 +49,7 @@ def export_pipeline(out_dir: str, check: bool = True, with_focus: bool = True) -
     args = (
         pipe._device_params,
         frame,
-        pipe._support_features,
+        pipe._support_kv,
         pipe.init_state(),
         pipe._support_mask,
     )
