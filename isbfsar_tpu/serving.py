@@ -1,0 +1,99 @@
+"""Multi-stream serving: independent camera streams sharded over a mesh.
+
+The reference serves exactly one camera per GPU process (SURVEY §2.6 — its
+only scale-out is DataParallel inside training). The TPU-native scale-out
+for *serving* is SPMD over the ``dp`` mesh axis: S independent camera
+streams, each with its own device-resident sliding-window state, stepped by
+ONE jit-compiled program whose stream axis is sharded across chips — frames
+land on their chip, every network runs batched, no cross-chip collectives
+on the hot path (streams are independent; ICI stays idle by design).
+
+One v5e-8 pod slice therefore serves 8x the streams at the single-chip
+frame rate; the driver's virtual-CPU mesh validates the sharding without
+hardware (tests/test_serving.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from isbfsar_tpu.configs import PipelineConfig
+from isbfsar_tpu.parallel.mesh import make_mesh
+from isbfsar_tpu.pipeline import FusedPipeline, StreamState
+
+
+class MultiStreamPipeline:
+    """S independent streams of the fused skeleton pipeline over a mesh.
+
+    Every stream shares the model parameters and the support set (one
+    support-set edit updates all streams); window state is per-stream.
+    """
+
+    def __init__(
+        self,
+        config: Optional[PipelineConfig] = None,
+        n_streams: int = 8,
+        mesh=None,
+        pipe: Optional[FusedPipeline] = None,
+        with_focus: bool = True,
+        input_format: str = "bgr",
+    ):
+        self.pipe = pipe or FusedPipeline(
+            config, with_focus=with_focus, input_format=input_format
+        )
+        self.n_streams = n_streams
+        self.mesh = mesh if mesh is not None else make_mesh()
+        assert n_streams % self.mesh.devices.size == 0, (
+            f"n_streams ({n_streams}) must be a multiple of the mesh size "
+            f"({self.mesh.devices.size}) for even sharding"
+        )
+        self._stream_sharding = NamedSharding(self.mesh, P("dp"))
+        self._replicated = NamedSharding(self.mesh, P())
+
+        def step(params, frames, support_kv, states, support_mask):
+            return jax.vmap(
+                self.pipe._step_impl, in_axes=(None, 0, None, 0, None)
+            )(params, frames, support_kv, states, support_mask)
+
+        self._step = jax.jit(step, donate_argnums=(3,))
+
+    # ------------------------------------------------------------- lifecycle
+
+    def start(self) -> None:
+        self.pipe.start()
+        put = lambda tree: jax.device_put(tree, self._replicated)
+        self._device_params = put(self.pipe._device_params)
+        self._support_kv = put(self.pipe._support_kv)
+        self._support_mask = put(self.pipe._support_mask)
+        single = self.pipe.init_state()
+        self._states = jax.device_put(
+            StreamState(
+                window=jnp.tile(single.window[None], (self.n_streams, 1, 1)),
+                n_valid=jnp.tile(single.n_valid[None], (self.n_streams,)),
+            ),
+            self._stream_sharding,
+        )
+
+    # ------------------------------------------------------------- stepping
+
+    def step(self, frames: np.ndarray) -> List[Dict[str, np.ndarray]]:
+        """frames: (S, ...frame_shape) — one frame per stream.
+        Returns one unpacked output dict per stream."""
+        assert frames.shape[0] == self.n_streams
+        packed, self._states = self._step(
+            self._device_params,
+            jax.device_put(np.ascontiguousarray(frames, np.uint8), self._stream_sharding),
+            self._support_kv,
+            self._states,
+            self._support_mask,
+        )
+        rows = np.asarray(packed)
+        return [self.pipe.layout.unpack(row) for row in rows]
+
+    def decode(self, outputs: Dict[str, np.ndarray]) -> Dict[str, Any]:
+        return self.pipe.decode(outputs)

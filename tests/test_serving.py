@@ -1,0 +1,91 @@
+"""Multi-stream mesh serving tests (8 streams sharded over 8 CPU devices)."""
+
+import jax
+import numpy as np
+import pytest
+
+from isbfsar_tpu.configs import (
+    ARConfig,
+    CameraIntrinsics,
+    HPEConfig,
+    MainConfig,
+    PipelineConfig,
+)
+from isbfsar_tpu.ar.recognizer import ActionRecognizer
+from isbfsar_tpu.hpe.estimator import HumanPoseEstimator
+from isbfsar_tpu.models.effnetv2 import V2_TINY
+from isbfsar_tpu.parallel.mesh import make_mesh
+from isbfsar_tpu.pipeline import FusedPipeline
+from isbfsar_tpu.runtime.source import SyntheticSource
+from isbfsar_tpu.serving import MultiStreamPipeline
+
+FRAME_SHAPE = (120, 160)
+
+
+@pytest.fixture(scope="module")
+def multi():
+    hpe_cfg = HPEConfig(yolo_input_size=128, crop_size=256, yolo_thresh=0.0)
+    intr = CameraIntrinsics(width=FRAME_SHAPE[1], height=FRAME_SHAPE[0])
+    hpe = HumanPoseEstimator(
+        hpe_cfg, intr, backbone_stages=V2_TINY, frame_shape=FRAME_SHAPE, yolo_width=0.25
+    )
+    ar = ActionRecognizer(ARConfig.for_input("skeleton"))
+    cfg = PipelineConfig(main=MainConfig.for_input("skeleton"), hpe=hpe_cfg)
+    pipe = FusedPipeline(cfg, hpe=hpe, ar=ar, with_focus=False)
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        ar.train(
+            {
+                "flag": f"a{i}",
+                "data": {"poses": rng.normal(size=(cfg.ar.seq_len, 90)).astype(np.float32)},
+                "requires_focus": False,
+            }
+        )
+    m = MultiStreamPipeline(n_streams=8, mesh=make_mesh(8), pipe=pipe)
+    m.start()
+    return m
+
+
+class TestMultiStream:
+    def test_sharded_over_mesh(self, multi):
+        assert multi._states.window.sharding.num_devices == 8
+
+    def test_streams_are_independent(self, multi):
+        """Stream i's window state must track only stream i's frames."""
+        rng = np.random.default_rng(1)
+        sources = [SyntheticSource(FRAME_SHAPE[1], FRAME_SHAPE[0]) for _ in range(8)]
+        # advance stream 0 with distinct frames; others get constant frames
+        const = np.zeros(FRAME_SHAPE + (3,), np.uint8)
+        for step in range(3):
+            frames = np.stack(
+                [sources[0].read()[1]] + [const] * 7
+            )
+            outs = multi.step(frames)
+        assert len(outs) == 8
+        # identical inputs -> identical outputs for streams 1..7
+        for i in range(2, 8):
+            np.testing.assert_allclose(outs[i]["pose"], outs[1]["pose"], rtol=1e-5)
+        # stream 0 saw different frames -> different pose
+        assert np.abs(outs[0]["pose"] - outs[1]["pose"]).max() > 1e-4
+
+    def test_matches_single_stream_pipeline(self, multi):
+        """Stream semantics == a lone FusedPipeline fed the same frames."""
+        src = SyntheticSource(FRAME_SHAPE[1], FRAME_SHAPE[0])
+        frames = [src.read()[1] for _ in range(multi.pipe.config.ar.seq_len + 2)]
+
+        multi.start()  # reset states
+        single = multi.pipe
+        single._state = single.init_state()
+
+        for frame in frames:
+            outs = multi.step(np.stack([frame] * 8))
+            ref = single.step(frame)
+        np.testing.assert_allclose(outs[3]["pose"], ref["pose"], rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(outs[3]["probs"], ref["probs"], rtol=1e-3, atol=1e-5)
+        assert bool(outs[3]["ar_ready"]) and bool(ref["ar_ready"])
+
+    def test_decode_contract(self, multi):
+        src = SyntheticSource(FRAME_SHAPE[1], FRAME_SHAPE[0])
+        outs = multi.step(np.stack([src.read()[1]] * 8))
+        elements = multi.decode(outs[0])
+        assert "actions" in elements
