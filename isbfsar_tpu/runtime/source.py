@@ -133,15 +133,16 @@ def run_source(
     visualizer=None,
     command_stream=None,
     max_frames: Optional[int] = None,
+    hub_port: Optional[int] = None,
 ) -> int:
     """Host loop (reference source.py:43-54): push frames + commands, drain results.
 
     command_stream: optional iterator yielding command strings ('' = none).
     Returns the number of frames pushed.
     """
-    from isbfsar_tpu.runtime.ipc import QueueClient
+    from isbfsar_tpu.runtime.ipc import DEFAULT_PORT, QueueClient
 
-    client = QueueClient(hub_host)
+    client = QueueClient(hub_host, hub_port or DEFAULT_PORT)
     to_compute = client.get_queue("source_human")
     from_compute = client.get_queue("human_sink")
 
@@ -153,6 +154,9 @@ def run_source(
         msg = next(command_stream, "") if command_stream is not None else ""
         to_compute.put({"rgb": frame, "msg": msg})
         n += 1
+        if msg in ("close", "exit", "quit", "q"):
+            # the compute loop exits without replying (reference main.py:152)
+            break
         elements = from_compute.get()
         if "ACK" in elements:
             # add-command handshake: the ACK replaces this cycle's elements
@@ -162,7 +166,5 @@ def run_source(
             continue
         if visualizer is not None:
             visualizer.show(elements)
-        if msg in ("close", "exit", "quit", "q"):
-            break
     source.stop()
     return n

@@ -196,3 +196,60 @@ class TestVisualizer:
         viz.save(str(tmp_path / "pose.png"))
         viz.clear()
         assert (tmp_path / "pose.png").exists()
+
+
+class TestLiveServiceIntegration:
+    def test_threaded_service_add_command_no_deadlock(self, orchestrator):
+        """Full source->hub->orchestrator loop with a live `add` command.
+
+        Regression guard for the ACK deadlock class: the source must treat
+        the ACK as that cycle's elements (a second blocking get while the
+        compute side waits for the next acquisition frame freezes the whole
+        service)."""
+        import threading
+
+        from isbfsar_tpu.runtime.ipc import QueueClient, QueueHub
+        from isbfsar_tpu.runtime.source import SyntheticSource, run_source
+
+        hub = QueueHub(("127.0.0.1", 0)).start_background()
+        addr = hub._server.address
+        client = QueueClient(addr[0], addr[1])
+        orchestrator._in_queue = client.get_queue("source_human")
+        orchestrator._out_queue = client.get_queue("human_sink")
+        orchestrator.ar.remove("wave")
+
+        def serve():
+            orchestrator.run()
+
+        t = threading.Thread(target=serve, daemon=True)
+        t.start()
+
+        def commands():
+            yield "add wave"
+            for _ in range(400):
+                yield ""
+            yield "quit"
+            while True:
+                yield ""
+
+        collected = []
+
+        class Collect:
+            def show(self, elements):
+                collected.append(elements)
+
+        n = run_source(
+            SyntheticSource(FRAME_SHAPE[1], FRAME_SHAPE[0]),
+            hub_host=addr[0],
+            hub_port=addr[1],
+            visualizer=Collect(),
+            command_stream=commands(),
+            max_frames=500,
+        )
+        t.join(timeout=60)
+        assert not t.is_alive(), "orchestrator did not exit on quit"
+        logs = [e.get("log") for e in collected if e.get("log")]
+        assert any("learned successfully" in (l or "") for l in logs), logs[:5]
+        assert any(e.get("actions") for e in collected), "AR never fired"
+        orchestrator._in_queue = None
+        orchestrator._out_queue = None
