@@ -37,6 +37,8 @@ def episodic_test(
 ) -> Dict[str, float]:
     """Episodic accuracy on (held-out) classes (reference utils/test.py)."""
     model = TRXOS(config)
+    if "params" not in params:
+        params = {"params": params}
 
     @jax.jit
     def forward(params, support, mask, target):
@@ -101,6 +103,8 @@ def discriminator_confusion(
     from isbfsar_tpu.train.dataloader import list_classes
 
     model = TRXOS(config)
+    if "params" not in params:
+        params = {"params": params}
     loader = EpisodicSampler(
         queries_path, max_l=16, l=config.seq_len, input_type=config.input_type
     )

@@ -44,6 +44,8 @@ def evaluate_fsos(
     seed: int = 0,
 ) -> Dict[str, List[float]]:
     model = TRXOS(config)
+    if "params" not in params:  # accept a bare param collection (Trainer.params)
+        params = {"params": params}
     rng = random.Random(seed)
 
     @jax.jit
