@@ -59,7 +59,13 @@ class Orchestrator:
         ar: Optional[ActionRecognizer] = None,
         save_dir: str = "saved",
         clock=time.time,
+        fused=None,
     ):
+        """fused: optional FusedPipeline — when given (skeleton mode), the
+        frame path runs the single-program fused step (one H2D + one packed
+        D2H per frame) instead of the three-dispatch module path; the
+        command protocol is unchanged (support-set edits refresh the fused
+        caches)."""
         self.config = config or PipelineConfig()
         self.input_type = self.config.main.input_type
         self.window_size = self.config.main.window_size
@@ -68,9 +74,14 @@ class Orchestrator:
         self.save_dir = save_dir
         self.clock = clock
 
-        self.hpe = hpe or HumanPoseEstimator(self.config.hpe, self.config.intrinsics)
-        self.focus = focus or FocusDetector(self.config.focus, self.config.intrinsics)
-        self.ar = ar or ActionRecognizer(self.config.ar)
+        self.fused = fused
+        if fused is not None:
+            self.hpe, self.focus, self.ar = fused.hpe, fused.focus, fused.ar
+            fused.start()
+        else:
+            self.hpe = hpe or HumanPoseEstimator(self.config.hpe, self.config.intrinsics)
+            self.focus = focus or FocusDetector(self.config.focus, self.config.intrinsics)
+            self.ar = ar or ActionRecognizer(self.config.ar)
 
         self._in_queue = in_queue
         self._out_queue = out_queue
@@ -88,6 +99,10 @@ class Orchestrator:
         if img is None:
             img = self._in_queue.get()["rgb"]
         elements["img"] = img
+
+        if self.fused is not None:
+            elements.update(self.fused.decode(self.fused.step(img)))
+            return self._finish_frame(elements, start, log)
 
         # fan-out: dispatch both device programs, then join (main.py:73-77).
         # One H2D for the frame, shared by both programs.
@@ -130,6 +145,9 @@ class Orchestrator:
             elements["focus"] = focus_flag
             elements["face_bbox"] = face.bbox.reshape(-1)
 
+        return self._finish_frame(elements, start, log)
+
+    def _finish_frame(self, elements, start, log):
         # moving-average FPS over the last 10 frames (main.py:127-130)
         elapsed = max(self.clock() - start, 1e-9)
         self.fps_window.append(1.0 / elapsed)
@@ -142,6 +160,11 @@ class Orchestrator:
         if self._out_queue is not None:
             self._out_queue.put(elements)
         return elements
+
+    def _refresh_support(self) -> None:
+        """Rebuild the fused pipeline's cached support K/V after edits."""
+        if self.fused is not None:
+            self.fused.start()
 
     # -------------------------------------------------------------- commands
 
@@ -208,10 +231,12 @@ class Orchestrator:
         for key in data[0]:
             inp["data"][key] = np.stack([s[key] for s in data])
         self.ar.train(inp)
+        self._refresh_support()
         return "Action " + flag + " learned successfully!"
 
     def forget_command(self, flag: str) -> str:
         if self.ar.remove(flag):
+            self._refresh_support()
             return f"Action {flag} removed"
         return f"Action {flag} is not in the support set"
 
@@ -221,6 +246,7 @@ class Orchestrator:
 
     def load(self) -> str:
         n = self.ar.load_support_set(self.save_dir)
+        self._refresh_support()
         return f"Loaded {n} classes"
 
     def debug(self) -> Dict[str, Any]:

@@ -32,6 +32,9 @@ def main() -> None:
     parser.add_argument("--yolo-thresh", type=float, default=None,
                         help="override person-confidence gate (e.g. 0.0 for "
                              "random-weight smoke runs)")
+    parser.add_argument("--fused", action="store_true",
+                        help="skeleton mode: run the single-program fused "
+                             "pipeline on the frame path (fastest)")
     args = parser.parse_args()
 
     enable_compile_cache()
@@ -45,10 +48,20 @@ def main() -> None:
         config = dataclasses.replace(
             config, hpe=dataclasses.replace(config.hpe, yolo_thresh=args.yolo_thresh)
         )
-    orch = Orchestrator(config, in_queue=in_q, out_queue=out_q, save_dir=args.save_dir)
+    fused = None
+    if args.fused:
+        from isbfsar_tpu.pipeline import FusedPipeline
+
+        assert args.input_type == "skeleton", "--fused requires skeleton mode"
+        fused = FusedPipeline(config, with_focus=True)
+    orch = Orchestrator(config, in_queue=in_q, out_queue=out_q,
+                        save_dir=args.save_dir, fused=fused)
     print("[isbfsar-tpu] warming up device programs...")
-    orch.hpe.warmup()
-    orch.focus.warmup()
+    if fused is not None:
+        fused.warmup()
+    else:
+        orch.hpe.warmup()
+        orch.focus.warmup()
     print("[isbfsar-tpu] serving")
     orch.run()
 

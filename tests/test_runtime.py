@@ -253,3 +253,33 @@ class TestLiveServiceIntegration:
         assert any(e.get("actions") for e in collected), "AR never fired"
         orchestrator._in_queue = None
         orchestrator._out_queue = None
+
+
+class TestFusedOrchestrator:
+    def test_fused_frame_path_and_commands(self, orchestrator):
+        """Orchestrator backed by the FusedPipeline: same elements contract,
+        support-set edits refresh the cached K/V."""
+        from isbfsar_tpu.pipeline import FusedPipeline
+
+        fused = FusedPipeline(
+            orchestrator.config, hpe=orchestrator.hpe, ar=orchestrator.ar,
+            with_focus=False,
+        )
+        orch = Orchestrator(
+            orchestrator.config,
+            in_queue=AutoFrameQueue(),
+            out_queue=Collector(),
+            fused=fused,
+            clock=FakeClock(),
+        )
+        log = orch.learn_command(["spin"])
+        assert "learned successfully" in log
+        src = SyntheticSource(FRAME_SHAPE[1], FRAME_SHAPE[0])
+        for _ in range(orch.config.ar.seq_len + 1):
+            elements = orch.get_frame(img=src.read()[1])
+        assert "spin" in elements["actions"]
+        assert "pose" in elements and elements["pose"].shape == (30, 3)
+        assert orch.forget_command("spin") == "Action spin removed"
+        elements = orch.get_frame(img=src.read()[1])
+        assert elements["actions"] == {}
+        orchestrator.ar.remove("spin")
