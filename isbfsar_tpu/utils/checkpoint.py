@@ -155,3 +155,124 @@ def rename_params(tree: Dict[str, Any], renames: Dict[str, str]) -> Dict[str, An
             joined = joined.replace(old, new)
         out[tuple(joined.split("/"))] = leaf
     return flax.traverse_util.unflatten_dict(out)
+
+
+def import_ordered_convnet(state_dict: Dict[str, Any], variables: Dict[str, Any]):
+    """Order-based torch->flax convnet import (YOLOv4 / EfficientNetV2 path).
+
+    The reference's engine toolchain consumes upstream torch/TF checkpoints
+    whose module names don't match ours (Tianxiaomo YOLOv4, MetrABS
+    EffNetV2). For architectures rebuilt with the SAME layer order, torch's
+    ``state_dict`` iteration order (registration order) corresponds 1:1 to
+    the flax tree's definition order — so parameters can be zipped by kind:
+
+    - 4D conv weights -> next flax conv ``kernel`` (OIHW -> HWIO; depthwise
+      OIHW with I==1 -> HWIO with O in the last axis)
+    - 2D linear weights (+bias) -> next flax dense kernel/bias
+    - BN weight/bias/running_mean/running_var -> next flax bn
+      scale/bias + batch_stats mean/var
+
+    Every assignment is shape-checked; a mismatch raises with both paths so
+    drift is caught immediately instead of silently corrupting weights.
+
+    Returns a new variables dict (params + batch_stats filled).
+    """
+    import flax
+
+    sd = strip_dataparallel(state_dict)
+
+    flat_params = dict(flax.traverse_util.flatten_dict(variables["params"]))
+    flat_stats = dict(flax.traverse_util.flatten_dict(variables.get("batch_stats", {})))
+
+    conv_keys = [k for k in flat_params if k[-1] == "kernel" and flat_params[k].ndim == 4]
+    dense_keys = [k for k in flat_params if k[-1] == "kernel" and flat_params[k].ndim == 2]
+    scale_keys = [k for k in flat_params if k[-1] == "scale"]
+
+    def bias_for(kernel_key):
+        bk = kernel_key[:-1] + ("bias",)
+        return bk if bk in flat_params else None
+
+    out_p = dict(flat_params)
+    out_s = dict(flat_stats)
+    ci = di = si = 0
+
+    items = list(sd.items())
+    i = 0
+    while i < len(items):
+        name, t = items[i]
+        arr = _t2n(t)
+        if name.endswith("num_batches_tracked"):
+            i += 1
+            continue
+        if arr.ndim == 4 and name.endswith("weight"):
+            key = conv_keys[ci]
+            ci += 1
+            want = out_p[key].shape
+            # OIHW -> HWIO (depthwise OIHW with I==1 maps the same way)
+            mapped = arr.transpose(2, 3, 1, 0)
+            if tuple(mapped.shape) != tuple(want):
+                raise ValueError(f"conv shape mismatch: torch {name} {mapped.shape} "
+                                 f"vs flax {'/'.join(key)} {want}")
+            out_p[key] = mapped
+            bk = bias_for(key)
+            if i + 1 < len(items) and items[i + 1][0].endswith("bias") and bk is not None \
+                    and _t2n(items[i + 1][1]).ndim == 1 \
+                    and _t2n(items[i + 1][1]).shape[0] == mapped.shape[3]:
+                out_p[bk] = _t2n(items[i + 1][1])
+                i += 1
+        elif arr.ndim == 2 and name.endswith("weight"):
+            key = dense_keys[di]
+            di += 1
+            mapped = arr.T
+            if tuple(mapped.shape) != tuple(out_p[key].shape):
+                raise ValueError(f"dense shape mismatch: torch {name} {mapped.shape} "
+                                 f"vs flax {'/'.join(key)} {out_p[key].shape}")
+            out_p[key] = mapped
+            bk = bias_for(key)
+            if i + 1 < len(items) and items[i + 1][0].endswith("bias") and bk is not None:
+                out_p[bk] = _t2n(items[i + 1][1])
+                i += 1
+        elif arr.ndim == 1 and name.endswith("weight"):
+            # BatchNorm gamma; expect bias/mean/var to follow
+            key = scale_keys[si]
+            si += 1
+            if arr.shape != out_p[key].shape:
+                raise ValueError(f"bn shape mismatch: torch {name} {arr.shape} "
+                                 f"vs flax {'/'.join(key)} {out_p[key].shape}")
+            out_p[key] = arr
+            base = key[:-1]
+            fields = {"bias": base + ("bias",)}
+            j = i + 1
+            while j < len(items) and j <= i + 3:
+                n2, t2 = items[j]
+                a2 = _t2n(t2)
+                if n2.endswith("bias") and fields.get("bias") in out_p:
+                    out_p[fields["bias"]] = a2
+                elif n2.endswith("running_mean"):
+                    sk = _match_stat(flat_stats, base, "mean")
+                    if sk is not None:
+                        out_s[sk] = a2
+                elif n2.endswith("running_var"):
+                    sk = _match_stat(flat_stats, base, "var")
+                    if sk is not None:
+                        out_s[sk] = a2
+                else:
+                    break
+                j += 1
+            i = j - 1
+        i += 1
+
+    params = flax.traverse_util.unflatten_dict(out_p)
+    result = {"params": params}
+    if flat_stats:
+        result["batch_stats"] = flax.traverse_util.unflatten_dict(out_s)
+    return result
+
+
+def _match_stat(flat_stats, param_base, leaf):
+    """Find the batch_stats key corresponding to a params bn path.
+
+    flax stores bn params under .../<bn_name>/{scale,bias} and stats under
+    .../<bn_name>/{mean,var}; the path prefix is identical."""
+    key = param_base + (leaf,)
+    return key if key in flat_stats else None
