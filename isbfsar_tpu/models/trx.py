@@ -245,7 +245,17 @@ class TRXOS(nn.Module):
     def match_cached(self, query_data, support_mask, s_k, s_v):
         """Per-frame half: embed the query, match against cached K/V, decide.
         Identical math to __call__ with the same support set."""
-        query_features = self.extract_features(query_data)
+        return self.match_features(
+            self.extract_features(query_data), support_mask, s_k, s_v
+        )
+
+    def match_features(self, query_features, support_mask, s_k, s_v):
+        """Match pre-extracted query features (b, L, D) against cached K/V.
+
+        The streaming pipeline keeps a ring of per-frame features (each frame
+        is embedded exactly once, when it enters the window) — extractors are
+        per-frame pure functions, so this equals re-extracting the whole
+        window every step (the reference's ar.py:49-51 does the latter)."""
         out = self.transformer.match(s_k, s_v, support_mask, query_features)
         logits = out["logits"]
         b = logits.shape[0]
@@ -256,3 +266,15 @@ class TRXOS(nn.Module):
         else:
             decision = jnp.exp(jnp.max(logits, axis=1, keepdims=True))
         return {"logits": logits, "is_true": decision, "attention": out["attention"]}
+
+    def embed_frame(self, sk=None, rgb=None):
+        """Per-frame feature for the streaming ring: (d,) for one frame.
+
+        sk: (n_joints*3,) flat root-relative skeleton; rgb: (H, W, 3) NHWC
+        whitened crop. Concat order matches extract_features ([rgb, sk])."""
+        feats = []
+        if rgb is not None:
+            feats.append(self.rgb_extractor(rgb[None])[0])
+        if sk is not None:
+            feats.append(self.sk_extractor(sk))
+        return jnp.concatenate(feats, axis=-1)

@@ -74,7 +74,14 @@ class _Layout:
 
 
 class FusedPipeline:
-    """Single-program streaming pipeline for the skeleton input mode."""
+    """Single-program streaming pipeline (skeleton | rgb | hybrid modes).
+
+    The AR window is a ring of per-frame FEATURES: each incoming frame is
+    embedded exactly once (skeleton MLP and/or rgb ResNet on the in-graph
+    224-crop); extractors are per-frame pure, so this equals the reference's
+    re-extraction of the whole window every step (ar.py:49-51) at 1/L the
+    extractor cost.
+    """
 
     def __init__(
         self,
@@ -90,9 +97,7 @@ class FusedPipeline:
         converted to BGR in-graph). Use i420 when the transfer link is the
         bottleneck (remote-attached chips)."""
         self.config = config or PipelineConfig()
-        assert self.config.main.input_type == "skeleton", (
-            "FusedPipeline fuses the skeleton mode; rgb/hybrid use Orchestrator"
-        )
+        self.input_type = self.config.main.input_type
         assert input_format in ("bgr", "i420")
         self.input_format = input_format
         self.hpe = hpe or HumanPoseEstimator(self.config.hpe, self.config.intrinsics)
@@ -136,7 +141,7 @@ class FusedPipeline:
     def init_state(self) -> StreamState:
         cfg = self.config.ar
         return StreamState(
-            window=jnp.zeros((cfg.seq_len, cfg.n_joints * 3), jnp.float32),
+            window=jnp.zeros((cfg.seq_len, cfg.trans_linear_in_dim), jnp.float32),
             n_valid=jnp.zeros((), jnp.int32),
         )
 
@@ -156,24 +161,38 @@ class FusedPipeline:
             return i420_to_bgr(frame, self.hpe.frame_shape[0])
         return frame
 
-    def _step_impl(self, params, frame, support_kv, state, support_mask):
-        """frame: (H, W, 3) uint8 BGR or (H*3/2, W) uint8 I420;
-        support_kv: (s_k, s_v) each (way, T, out); support_mask (way,).
-
-        Returns (packed f32 vector, new_state).
-        """
+    def _frame_core(self, params, frame, state, support_kv, support_mask):
+        """Shared single-frame body (frame already BGR-decoded): pose +
+        per-frame feature + ring push + match.
+        Returns (values dict, new StreamState)."""
         cfg = self.config.ar
-        frame = self._decode_frame(frame)
 
         pose, bbox, conf, found, visible = self.hpe._estimate_impl(params["hpe"], frame)
-        pose_ok = jnp.logical_and(found, visible)
+        # rgb mode gates only on detection (the reference's just_box path has
+        # no pose/visibility, main.py:76-93); skeleton/hybrid also require
+        # the FOV-visibility flag (hpe.py:149-153)
+        pose_ok = found if self.input_type == "rgb" else jnp.logical_and(found, visible)
 
         distance = jnp.linalg.norm(pose[0]) * 2.5  # reference main.py:102
         rel_pose = pose - pose[0]
-        sk = rel_pose.reshape(-1)
+
+        # per-frame feature (embedded once, on entry to the ring)
+        kwargs = {}
+        if self.input_type in ("skeleton", "hybrid"):
+            kwargs["sk"] = rel_pose.reshape(-1)
+        if self.input_type in ("rgb", "hybrid"):
+            from isbfsar_tpu.ops.image import IMAGENET_SCALE, IMAGENET_SHIFT, center_square_crop_resize
+
+            x1, x2, y1, y2 = bbox[0], bbox[1], bbox[2], bbox[3]
+            crop = center_square_crop_resize(
+                frame, (x1, y1, x2, y2), self.config.ar.rgb_size
+            ).astype(jnp.float32)
+            crop = crop / 255.0 * jnp.asarray(IMAGENET_SCALE) + jnp.asarray(IMAGENET_SHIFT)
+            kwargs["rgb"] = crop
+        feature = self.ar.model.apply(params["ar"], method="embed_frame", **kwargs)
 
         # sliding window push (reference ar.py:42-46), only on good frames
-        pushed = jnp.concatenate([state.window[1:], sk[None]], axis=0)
+        pushed = jnp.concatenate([state.window[1:], feature[None]], axis=0)
         window = jnp.where(pose_ok, pushed, state.window)
         n_valid = jnp.where(
             pose_ok, jnp.minimum(state.n_valid + 1, cfg.seq_len), state.n_valid
@@ -182,15 +201,13 @@ class FusedPipeline:
         # AR match against the cached support K/V (support-side transformer
         # work happens once per support-set edit, not per frame)
         s_k, s_v = support_kv
-        query = {"sk": window[None]}
         out = self.ar.model.apply(
-            params["ar"], query, support_mask[None], s_k[None], s_v[None],
-            method="match_cached",
+            params["ar"], window[None], support_mask[None], s_k[None], s_v[None],
+            method="match_features",
         )
         probs = jax.nn.softmax(out["logits"][0])
         is_true = out["is_true"][0, 0]
         ar_ready = jnp.logical_and(n_valid >= cfg.seq_len, jnp.any(support_mask))
-
         values = {
             "pose": rel_pose,
             "pose_abs": pose,
@@ -202,6 +219,16 @@ class FusedPipeline:
             "is_true": is_true,
             "ar_ready": ar_ready,
         }
+        return values, StreamState(window=window, n_valid=n_valid)
+
+    def _step_impl(self, params, frame, support_kv, state, support_mask):
+        """frame: (H, W, 3) uint8 BGR or (H*3/2, W) uint8 I420;
+        support_kv: (s_k, s_v) each (way, T, out); support_mask (way,).
+
+        Returns (packed f32 vector, new_state).
+        """
+        frame = self._decode_frame(frame)
+        values, state = self._frame_core(params, frame, state, support_kv, support_mask)
 
         if self.with_focus:
             f = self.focus._forward_impl(params["focus"], frame)
@@ -217,16 +244,17 @@ class FusedPipeline:
                 f_norm_gaze=f["normalized_gaze_vector"],
             )
 
-        return self.layout.pack(values), StreamState(window=window, n_valid=n_valid)
+        return self.layout.pack(values), state
 
     def _step_batch_impl(self, params, frames, support_kv, state, support_mask):
         """Micro-batched step: B frames -> (B, vec) packed outputs + state.
 
         Identical per-frame semantics to :meth:`_step_impl`; the point is
         transfer/sync amortization on remote-attached TPUs (one H2D, one
-        program, one D2H per B frames instead of per frame). Pose/focus are
-        batched over frames (batched convs on the MXU); only the sliding-
-        window recurrence runs as a (trivially cheap) lax.scan.
+        program, one D2H per B frames instead of per frame). Pose, per-frame
+        features and focus are batched over frames (batched convs on the
+        MXU); only the feature-ring recurrence runs as a (trivially cheap)
+        lax.scan, and the AR match runs batched on the scanned windows.
         """
         cfg = self.config.ar
         b = frames.shape[0]
@@ -235,32 +263,51 @@ class FusedPipeline:
         pose, bbox, conf, found, visible = jax.vmap(
             self.hpe._estimate_impl, in_axes=(None, 0)
         )(params["hpe"], frames)
-        pose_ok = jnp.logical_and(found, visible)
+        pose_ok = found if self.input_type == "rgb" else jnp.logical_and(found, visible)
 
         distance = jnp.linalg.norm(pose[:, 0], axis=-1) * 2.5
         rel_pose = pose - pose[:, :1]
-        sks = rel_pose.reshape(b, -1)
 
-        # window recurrence: tiny (16 x 90) shifts, sequential by definition
+        # per-frame features, batched over the B frames
+        def frame_feature(frame, rel, box):
+            kwargs = {}
+            if self.input_type in ("skeleton", "hybrid"):
+                kwargs["sk"] = rel.reshape(-1)
+            if self.input_type in ("rgb", "hybrid"):
+                from isbfsar_tpu.ops.image import (
+                    IMAGENET_SCALE,
+                    IMAGENET_SHIFT,
+                    center_square_crop_resize,
+                )
+
+                crop = center_square_crop_resize(
+                    frame, (box[0], box[2], box[1], box[3]), cfg.rgb_size
+                ).astype(jnp.float32)
+                kwargs["rgb"] = crop / 255.0 * jnp.asarray(IMAGENET_SCALE) + jnp.asarray(IMAGENET_SHIFT)
+            return self.ar.model.apply(params["ar"], method="embed_frame", **kwargs)
+
+        features = jax.vmap(frame_feature)(frames, rel_pose, bbox)
+
+        # ring recurrence: tiny (L x D) shifts, sequential by definition
         def scan_body(st, inp):
-            sk, ok = inp
-            pushed = jnp.concatenate([st.window[1:], sk[None]], axis=0)
+            feat, ok = inp
+            pushed = jnp.concatenate([st.window[1:], feat[None]], axis=0)
             window = jnp.where(ok, pushed, st.window)
             n_valid = jnp.where(ok, jnp.minimum(st.n_valid + 1, cfg.seq_len), st.n_valid)
             new = StreamState(window=window, n_valid=n_valid)
             return new, (window, n_valid)
 
-        state, (windows, n_valids) = jax.lax.scan(scan_body, state, (sks, pose_ok))
+        state, (windows, n_valids) = jax.lax.scan(scan_body, state, (features, pose_ok))
 
         # batched AR match: all B windows against the shared cached K/V
         s_k, s_v = support_kv
         out = self.ar.model.apply(
             params["ar"],
-            {"sk": windows},
+            windows,
             jnp.broadcast_to(support_mask[None], (b, support_mask.shape[0])),
             jnp.broadcast_to(s_k[None], (b,) + s_k.shape),
             jnp.broadcast_to(s_v[None], (b,) + s_v.shape),
-            method="match_cached",
+            method="match_features",
         )
         probs = jax.nn.softmax(out["logits"], axis=-1)
         is_true = out["is_true"][:, 0]

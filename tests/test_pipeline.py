@@ -156,3 +156,42 @@ class TestI420Pipeline:
         assert bool(yuv_out["pose_ok"]) == bool(bgr_out["pose_ok"])
         # poses from slightly different pixels; should be close, not exact
         assert np.abs(yuv_out["bbox"] - bgr_out["bbox"]).max() <= 8
+
+
+class TestFusedRgbHybrid:
+    def _build(self, input_type, hpe):
+        ar_cfg = dataclasses.replace(ARConfig.for_input(input_type), rgb_size=64)
+        ar = ActionRecognizer(ar_cfg)
+        cfg = PipelineConfig(
+            main=MainConfig.for_input(input_type),
+            hpe=dataclasses.replace(HPEConfig(yolo_input_size=128, crop_size=256), yolo_thresh=0.0),
+            ar=ar_cfg,
+        )
+        p = FusedPipeline(cfg, hpe=hpe, ar=ar, with_focus=False)
+        rng = np.random.default_rng(0)
+        for i in range(2):
+            data = {}
+            if input_type in ("skeleton", "hybrid"):
+                data["poses"] = rng.normal(size=(ar_cfg.seq_len, 90)).astype(np.float32)
+            if input_type in ("rgb", "hybrid"):
+                data["imgs"] = rng.uniform(0, 1, (ar_cfg.seq_len, 64, 64, 3)).astype(np.float32)
+            ar.train({"flag": f"a{i}", "data": data, "requires_focus": False})
+        p.start()
+        return p
+
+    @pytest.mark.parametrize("input_type", ["rgb", "hybrid"])
+    def test_fused_mode_fires(self, pipe, input_type):
+        p = self._build(input_type, pipe.hpe)
+        src = SyntheticSource(FRAME_SHAPE[1], FRAME_SHAPE[0])
+        for _ in range(p.config.ar.seq_len):
+            elements = p.decode(p.step(src.read()[1]))
+        assert set(elements["actions"]) == {"a0", "a1"}
+        assert abs(sum(elements["actions"].values()) - 1.0) < 1e-5
+        # batched path agrees with sequential for the same stream
+        frames = [src.read()[1] for _ in range(6)]
+        p._state = p.init_state()
+        seq = [p.step(f) for f in frames]
+        p._state = p.init_state()
+        batched = list(p.stream_batched(iter(frames), batch_size=3))
+        for s, b in zip(seq, batched):
+            np.testing.assert_allclose(b["probs"], s["probs"], rtol=1e-4, atol=1e-5)
