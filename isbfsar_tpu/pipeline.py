@@ -7,9 +7,10 @@ hpe.py:48-173, ar.py:30-84). Here a camera frame enters the device once and
 
     resize -> YOLO -> person pick -> virtual camera -> crop warp ->
     backbone -> heatmap head -> soft-argmax -> absolute reconstruction ->
-    joint mapping -> root-centering -> sliding-window update ->
-    skeleton MLP embed -> temporal cross-transformer match vs the cached
-    support set -> softmax scores + open-set decision
+    joint mapping -> root-centering -> per-frame feature embed (skeleton
+    MLP and/or rgb ResNet on an in-graph bbox crop) -> feature-ring update
+    -> temporal cross-transformer match vs the cached support K/V ->
+    softmax scores + open-set decision
     [+ face detect -> head pose -> gaze normalization -> gaze net]
 
 runs as one jit-compiled program. The AR sliding window lives on-device as
@@ -42,7 +43,7 @@ from isbfsar_tpu.hpe.estimator import HumanPoseEstimator
 class StreamState(NamedTuple):
     """Device-resident recurrent state threaded through the fused step."""
 
-    window: jnp.ndarray  # (seq_len, n_joints*3) root-relative skeleton ring
+    window: jnp.ndarray  # (seq_len, trans_linear_in_dim) per-frame feature ring
     n_valid: jnp.ndarray  # () int32 — filled frames in the window
 
 
