@@ -276,3 +276,81 @@ def _match_stat(flat_stats, param_base, leaf):
     .../<bn_name>/{mean,var}; the path prefix is identical."""
     key = param_base + (leaf,)
     return key if key in flat_stats else None
+
+
+def import_tf_vars(tf_vars, variables: Dict[str, Any]):
+    """Order-based TF->flax convnet import (the MetrABS EffNetV2-L path).
+
+    tf_vars: list of (name, numpy array) in TF variable order (what
+    ``model.crop_model.variables`` yields in the reference's extraction
+    script, setup/2_extract_bbone_heads.py:36-47). TF conv kernels are
+    already HWIO and depthwise kernels HWC1->HW1C-compatible, so only the
+    kind classification + order zip is needed:
+
+    - 4D kernel -> next flax conv kernel (depthwise (h, w, c, 1) transposed
+      to flax's (h, w, 1, c))
+    - 'gamma'/'beta'/'moving_mean'/'moving_variance' -> next flax bn
+    - 2D kernel (+bias) -> next dense
+
+    Shape-checked per assignment. Returns a filled variables dict.
+    """
+    import flax
+
+    flat_params = dict(flax.traverse_util.flatten_dict(variables["params"]))
+    flat_stats = dict(flax.traverse_util.flatten_dict(variables.get("batch_stats", {})))
+    conv_keys = [k for k in flat_params if k[-1] == "kernel" and flat_params[k].ndim == 4]
+    dense_keys = [k for k in flat_params if k[-1] == "kernel" and flat_params[k].ndim == 2]
+    scale_keys = [k for k in flat_params if k[-1] == "scale"]
+
+    out_p = dict(flat_params)
+    out_s = dict(flat_stats)
+    ci = di = si = 0
+    bn_cursor = None  # base path of the bn currently being filled
+
+    for name, val in tf_vars:
+        arr = np.asarray(val)
+        leaf = name.rsplit("/", 1)[-1].split(":")[0]
+        if arr.ndim == 4:
+            key = conv_keys[ci]
+            ci += 1
+            want = out_p[key].shape
+            mapped = arr
+            if tuple(mapped.shape) != tuple(want) and arr.shape[-1] == 1 and want[-2] == 1:
+                mapped = arr.transpose(0, 1, 3, 2)  # TF depthwise HWC1 -> flax HW1C
+            if tuple(mapped.shape) != tuple(want):
+                raise ValueError(f"conv shape mismatch: tf {name} {mapped.shape} "
+                                 f"vs flax {'/'.join(key)} {want}")
+            out_p[key] = mapped
+        elif arr.ndim == 2:
+            key = dense_keys[di]
+            di += 1
+            if tuple(arr.shape) != tuple(out_p[key].shape):
+                raise ValueError(f"dense shape mismatch: tf {name} {arr.shape} "
+                                 f"vs flax {'/'.join(key)} {out_p[key].shape}")
+            out_p[key] = arr
+        elif leaf == "gamma":
+            key = scale_keys[si]
+            si += 1
+            bn_cursor = key[:-1]
+            if arr.shape != out_p[key].shape:
+                raise ValueError(f"bn gamma mismatch: tf {name} {arr.shape} "
+                                 f"vs flax {'/'.join(key)} {out_p[key].shape}")
+            out_p[key] = arr
+        elif leaf == "beta" and bn_cursor is not None:
+            out_p[bn_cursor + ("bias",)] = arr
+        elif leaf == "moving_mean" and bn_cursor is not None:
+            if bn_cursor + ("mean",) in out_s:
+                out_s[bn_cursor + ("mean",)] = arr
+        elif leaf == "moving_variance" and bn_cursor is not None:
+            if bn_cursor + ("var",) in out_s:
+                out_s[bn_cursor + ("var",)] = arr
+        elif arr.ndim == 1:
+            # conv/dense bias follows its kernel: attach to the most recent
+            prev = (dense_keys[di - 1] if di else conv_keys[ci - 1])[:-1] + ("bias",)
+            if prev in out_p and out_p[prev].shape == arr.shape:
+                out_p[prev] = arr
+
+    result = {"params": flax.traverse_util.unflatten_dict(out_p)}
+    if flat_stats:
+        result["batch_stats"] = flax.traverse_util.unflatten_dict(out_s)
+    return result

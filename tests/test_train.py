@@ -384,3 +384,51 @@ class TestOrderedImport:
         # layers; the contract under test is structure + layout, not scale)
         boxes, confs = model.apply(imported, jnp.zeros((1, 64, 64, 3)))
         assert confs.shape[-1] == 80
+
+
+class TestTFVarsImport:
+    def test_effnetv2_roundtrip(self, rng):
+        """Synthesize a TF-ordered vars list from our EffNetV2 tree and
+        require an exact import — pins the MetrABS checkpoint path."""
+        import jax
+        import flax
+
+        from isbfsar_tpu.models.effnetv2 import V2_TINY, EfficientNetV2
+        from isbfsar_tpu.utils.checkpoint import import_tf_vars
+
+        model = EfficientNetV2(stages=V2_TINY, head_filters=64, dtype=jnp.float32)
+        variables = jax.jit(lambda k: model.init(k, jnp.zeros((1, 64, 64, 3))))(
+            jax.random.key(0)
+        )
+        variables = jax.tree.map(np.asarray, variables)
+        flat_p = flax.traverse_util.flatten_dict(variables["params"])
+
+        tf_vars = []
+        want_p = {}
+        for key, val in flat_p.items():
+            if key[-1] == "kernel" and val.ndim == 4:
+                if val.shape[2] == 1:  # depthwise flax HW1C -> TF HWC1
+                    arr = rng.normal(size=val.shape).astype(np.float32)
+                    tf_vars.append(("x/depthwise_kernel:0", arr.transpose(0, 1, 3, 2)))
+                else:
+                    arr = rng.normal(size=val.shape).astype(np.float32)
+                    tf_vars.append(("x/kernel:0", arr))
+                want_p[key] = arr
+            elif key[-1] == "scale":
+                n = val.shape[0]
+                g = rng.normal(size=n).astype(np.float32)
+                b = rng.normal(size=n).astype(np.float32)
+                m = rng.normal(size=n).astype(np.float32)
+                v = (rng.uniform(0.5, 1.5, n)).astype(np.float32)
+                tf_vars += [("x/gamma:0", g), ("x/beta:0", b),
+                            ("x/moving_mean:0", m), ("x/moving_variance:0", v)]
+                want_p[key] = g
+                want_p[key[:-1] + ("bias",)] = b
+
+        imported = import_tf_vars(tf_vars, variables)
+        flat_ip = flax.traverse_util.flatten_dict(imported["params"])
+        for key, want in want_p.items():
+            np.testing.assert_array_equal(flat_ip[key], want)
+        # stats got filled too
+        flat_is = flax.traverse_util.flatten_dict(imported["batch_stats"])
+        assert all(np.isfinite(v).all() for v in flat_is.values())
