@@ -1,0 +1,92 @@
+"""Evaluation CLI — the reference's test-script entry points in one tool.
+
+    python -m isbfsar_tpu.train.eval_cli fsos --data <queries> --exemplars <ex> \
+        --checkpoint runs/trx/checkpoints/29.msgpack [--repeats 10] [--plot fsos.png]
+    python -m isbfsar_tpu.train.eval_cli episodic --data <queries> --checkpoint ...
+    python -m isbfsar_tpu.train.eval_cli confusion --data <queries> --exemplars <ex> \
+        --checkpoint ... [--plot cm.png]
+
+Covers reference modules/ar/utils/test/compute_fsos.py, utils/test.py and
+test/create_confusion_matrix.py + the plot scripts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def _load_params(cfg, path):
+    import jax
+    import jax.numpy as jnp
+
+    from isbfsar_tpu.models.trx import TRXOS
+    from isbfsar_tpu.utils.checkpoint import load_checkpoint
+
+    model = TRXOS(cfg)
+    shapes = {"sk": (cfg.n_joints * 3,), "rgb": (cfg.rgb_size, cfg.rgb_size, 3)}
+    keys = {"skeleton": ("sk",), "rgb": ("rgb",), "hybrid": ("rgb", "sk")}[cfg.input_type]
+    q = {m: jnp.zeros((1, cfg.seq_len) + shapes[m]) for m in keys}
+    s = {m: jnp.zeros((1, cfg.way, cfg.seq_len) + shapes[m]) for m in keys}
+    template = jax.jit(
+        lambda k: model.init(k, q, jnp.ones((1, cfg.way), bool), support_data=s)
+    )(jax.random.key(0))
+    state = load_checkpoint(
+        path, {"params": template["params"], "batch_stats": {}, "opt_state": None}
+    )
+    return {"params": state["params"]}
+
+
+def main() -> None:
+    from isbfsar_tpu.configs import ARConfig
+    from isbfsar_tpu.utils.cache import enable_compile_cache
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("mode", choices=["fsos", "episodic", "confusion"])
+    parser.add_argument("--data", required=True)
+    parser.add_argument("--exemplars", default=None)
+    parser.add_argument("--checkpoint", required=True)
+    parser.add_argument("--input-type", default="skeleton")
+    parser.add_argument("--k", type=int, default=5)
+    parser.add_argument("--repeats", type=int, default=10)
+    parser.add_argument("--batch-size", type=int, default=8)
+    parser.add_argument("--plot", default=None)
+    args = parser.parse_args()
+
+    enable_compile_cache()
+    cfg = ARConfig.for_input(args.input_type)
+    params = _load_params(cfg, args.checkpoint)
+
+    if args.mode == "fsos":
+        from isbfsar_tpu.train.dataloader import list_classes
+        from isbfsar_tpu.train.fsos import evaluate_fsos, summarize
+
+        exemplars = args.exemplars or args.data
+        results = evaluate_fsos(
+            cfg, params, args.data, exemplars, k=args.k, n_repeats=args.repeats,
+            batch_size=args.batch_size, n_test_classes=len(list_classes(exemplars)),
+        )
+        print(json.dumps(summarize(results)))
+        if args.plot:
+            from isbfsar_tpu.train.evals import plot_fsos
+
+            plot_fsos(results, args.plot)
+    elif args.mode == "episodic":
+        from isbfsar_tpu.train.evals import episodic_test
+
+        metrics = episodic_test(cfg, params, args.data, batch_size=args.batch_size)
+        print(json.dumps(metrics))
+    else:
+        from isbfsar_tpu.train.evals import discriminator_confusion, plot_confusion
+        from isbfsar_tpu.train.dataloader import list_classes
+
+        exemplars = args.exemplars or args.data
+        classes = list_classes(exemplars)
+        matrix = discriminator_confusion(cfg, params, args.data, exemplars, classes)
+        print(json.dumps({"classes": classes, "matrix": matrix.tolist()}))
+        if args.plot:
+            plot_confusion(matrix, classes, args.plot)
+
+
+if __name__ == "__main__":
+    main()
