@@ -117,7 +117,7 @@ class Orchestrator:
         if self.input_type in ("hybrid", "rgb") and hpe_res is not None:
             x1, x2, y1, y2 = hpe_res["bbox"]
             elements["bbox"] = (x1, x2, y1, y2)
-            crop = preprocess_ar_crop(img, (x1, x2, y1, y2))
+            crop = preprocess_ar_crop(img, (x1, x2, y1, y2), out=self.config.ar.rgb_size)
             ar_input["rgb"] = crop
             elements["img_preprocessed"] = crop
 

@@ -283,3 +283,38 @@ class TestFusedOrchestrator:
         elements = orch.get_frame(img=src.read()[1])
         assert elements["actions"] == {}
         orchestrator.ar.remove("spin")
+
+
+class TestRgbHybridOrchestrator:
+    @pytest.mark.parametrize("input_type", ["rgb", "hybrid"])
+    def test_mode_learn_and_recognize(self, orchestrator, input_type):
+        """rgb/hybrid frame paths: bbox crop -> AR rgb branch (reference
+        main.py:76-93). just_box for rgb, full estimate for hybrid."""
+        ar_cfg = dataclasses.replace(ARConfig.for_input(input_type), rgb_size=64)
+        ar = ActionRecognizer(ar_cfg)
+        cfg = PipelineConfig(
+            main=MainConfig.for_input(input_type),
+            hpe=dataclasses.replace(
+                HPEConfig(yolo_input_size=128, crop_size=256, yolo_thresh=0.0),
+                just_box=(input_type == "rgb"),
+            ),
+            ar=ar_cfg,
+        )
+        hpe = HumanPoseEstimator(
+            cfg.hpe, CameraIntrinsics(width=FRAME_SHAPE[1], height=FRAME_SHAPE[0]),
+            params=orchestrator.hpe.params,
+            backbone_stages=V2_TINY, frame_shape=FRAME_SHAPE, yolo_width=0.25,
+        )
+        orch = Orchestrator(
+            cfg, in_queue=AutoFrameQueue(), out_queue=Collector(),
+            hpe=hpe, focus=orchestrator.focus, ar=ar, clock=FakeClock(),
+        )
+        log = orch.learn_command(["act"])
+        assert "learned successfully" in log
+        assert ar.n_classes == 1
+        src = SyntheticSource(FRAME_SHAPE[1], FRAME_SHAPE[0])
+        for _ in range(ar_cfg.seq_len + 1):
+            elements = orch.get_frame(img=src.read()[1])
+        assert "act" in elements["actions"]
+        assert "img_preprocessed" in elements
+        assert elements["img_preprocessed"].shape == (64, 64, 3)
