@@ -9,13 +9,13 @@ degrees. Here the detect + crop + Hopenet chain is one fused XLA program.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from isbfsar_tpu.configs import CameraIntrinsics, FocusConfig
+from isbfsar_tpu.configs import FocusConfig
 from isbfsar_tpu.models.gaze import BlazeFaceLite, HopeNet
 
 

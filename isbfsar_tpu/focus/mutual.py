@@ -12,7 +12,7 @@ top-1 head; NMS uses the shared fixed-shape kernel.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ same fixed-shape NMS as the YOLO path — same API (boxes + scores for one
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax

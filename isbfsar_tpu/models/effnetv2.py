@@ -19,7 +19,7 @@ SE-pooling reductions stay in float32. Depthwise convs map to XLA
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Sequence, Tuple
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -21,7 +21,7 @@ TPU-native rebuild:
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any
 
 import flax.linen as nn
 import jax

@@ -11,7 +11,7 @@ the trainer, bench and dry-run paths agree.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

@@ -16,7 +16,7 @@ JAX formulation (no hooks):
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ splits.
 from __future__ import annotations
 
 import os
-from typing import Callable, Dict, Iterator, List, Optional, Tuple
+from typing import Dict, Iterator, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -24,7 +24,7 @@ import numpy as np
 import optax
 
 from isbfsar_tpu.configs import MutualGazeConfig
-from isbfsar_tpu.models.detection import BinaryGazeClassifier, EyeKeypointMLP
+from isbfsar_tpu.models.detection import BinaryGazeClassifier
 from isbfsar_tpu.models.resnet import resnet18, resnet50
 from isbfsar_tpu.utils import checkpoint as ckpt
 from isbfsar_tpu.utils.metrics import MetricsLogger, binary_prf

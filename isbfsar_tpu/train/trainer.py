@@ -27,9 +27,7 @@ half the extractor work).
 
 from __future__ import annotations
 
-import dataclasses
-import time
-from typing import Any, Dict, Iterable, List, Optional, Tuple
+from typing import Any, Dict, Iterable, List, Optional
 
 import jax
 import jax.numpy as jnp
