@@ -62,3 +62,20 @@ class TestRenameParams:
         assert "new_name" in out and "old_name" not in out
         np.testing.assert_array_equal(out["new_name"]["fc1"]["kernel"], np.ones(2))
         assert "keep" in out
+
+
+class TestProfilerTrace:
+    def test_trace_writes_files(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from isbfsar_tpu.utils.profiling import trace
+
+        with trace(str(tmp_path)):
+            jax.block_until_ready(jax.jit(lambda x: x * 2)(jnp.ones((64, 64))))
+        import os
+
+        produced = [
+            os.path.join(dp, f) for dp, _, fs in os.walk(tmp_path) for f in fs
+        ]
+        assert produced, "jax.profiler trace produced no files"
