@@ -91,6 +91,15 @@ class _BlazeBlock(nn.Module):
         return nn.relu(y + residual)
 
 
+# Per-anchor base side lengths (fraction of frame). The fine 16x16 grid
+# carries two small-face priors; the coarse 8x8 grid spans medium-to-
+# full-frame faces, so a trained detector can express the large close-up
+# faces the close/far heuristic keys on (bbox area > 0.03 of the frame,
+# reference focus.py:118) instead of saturating at one fixed prior.
+ANCHOR_SIZES_16 = (0.10, 0.25)
+ANCHOR_SIZES_8 = (0.30, 0.42, 0.56, 0.70, 0.85, 1.00)
+
+
 def blaze_anchors(input_size: int = 128) -> jnp.ndarray:
     """(896, 2) anchor centers in [0, 1]: 2/cell @16x16 + 6/cell @8x8."""
     anchors = []
@@ -100,6 +109,18 @@ def blaze_anchors(input_size: int = 128) -> jnp.ndarray:
         c = jnp.stack([cx.reshape(-1), cy.reshape(-1)], axis=-1)
         anchors.append(jnp.repeat(c, per_cell, axis=0))
     return jnp.concatenate(anchors, axis=0)
+
+
+def blaze_anchor_sizes(input_size: int = 128) -> jnp.ndarray:
+    """(896,) per-anchor base size matching :func:`blaze_anchors` order."""
+    n16 = (input_size // 8) ** 2
+    n8 = (input_size // 16) ** 2
+    return jnp.concatenate(
+        [
+            jnp.tile(jnp.asarray(ANCHOR_SIZES_16, jnp.float32), n16),
+            jnp.tile(jnp.asarray(ANCHOR_SIZES_8, jnp.float32), n8),
+        ]
+    )
 
 
 class BlazeFaceLite(nn.Module):
@@ -139,9 +160,10 @@ class BlazeFaceLite(nn.Module):
         )  # (b, 896, n_out)
 
         anchors = blaze_anchors(input_size)[None]  # (1, 896, 2)
+        sizes = blaze_anchor_sizes(input_size)[None, :, None]  # (1, 896, 1)
         scale = 128.0 / input_size
         center = anchors + raw[..., 0:2] / (input_size * scale)
-        wh = jnp.exp(raw[..., 2:4] * 0.1) * 0.15  # anchor-free size prior
+        wh = jnp.exp(raw[..., 2:4] * 0.2) * sizes  # per-anchor size prior
         boxes = jnp.concatenate([center - wh / 2, center + wh / 2], axis=-1)
         lms = anchors[:, :, None] + raw[..., 4 : 4 + 2 * self.n_landmarks].reshape(
             b, -1, self.n_landmarks, 2

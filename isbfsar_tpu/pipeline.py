@@ -453,7 +453,10 @@ class FusedPipeline:
             x1, x2, y1, y2 = (int(v) for v in outputs["bbox"])
             elements["bbox"] = (x1, x2, y1, y2)
             elements["edges"] = self.hpe.edges
-        if outputs["ar_ready"] > 0:
+        # Actions require BOTH a full window and a person on THIS frame:
+        # the reference feeds AR an empty dict when no pose was found
+        # (main.py:77-108), so inference returns ({}, 0, {}) on such frames.
+        if outputs["ar_ready"] > 0 and outputs["pose_ok"] > 0:
             probs = outputs["probs"]
             elements["actions"] = {
                 name: float(probs[i])

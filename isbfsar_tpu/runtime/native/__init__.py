@@ -23,7 +23,7 @@ _lib: Optional[ctypes.CDLL] = None
 
 
 def build_library(force: bool = False) -> str:
-    if force or not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+    if force or not os.path.exists(_LIB):
         subprocess.run(
             ["g++", "-O2", "-shared", "-fPIC", _SRC, "-o", _LIB, "-lpthread", "-lrt"],
             check=True,
@@ -35,7 +35,13 @@ def build_library(force: bool = False) -> str:
 def _load() -> ctypes.CDLL:
     global _lib
     if _lib is None:
-        lib = ctypes.CDLL(build_library())
+        # The .so is never shipped (gitignored): always compiled from
+        # shm_queue.cpp on this machine. A stale/wrong-ABI leftover binary
+        # triggers a forced rebuild instead of an opaque load failure.
+        try:
+            lib = ctypes.CDLL(build_library())
+        except OSError:
+            lib = ctypes.CDLL(build_library(force=True))
         lib.shmq_create.restype = ctypes.c_void_p
         lib.shmq_create.argtypes = [ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint32]
         lib.shmq_open.restype = ctypes.c_void_p

@@ -134,9 +134,17 @@ class EpisodicSampler:
                     self.default_sample = sample
                 return sample
             except Exception:
-                if pinned:  # fixed query: fall back to the cached sample
-                    return self.default_sample
+                if pinned and self.default_sample is not None:
+                    return self.default_sample  # fixed query: cached fallback
                 path = None  # random clip: try another
+        if self.default_sample is None:
+            # Nothing ever loaded: the reference would crash later in
+            # collate with an inscrutable NoneType error — fail loudly here.
+            raise RuntimeError(
+                f"could not load any clip for class {class_name!r} after 8 "
+                f"attempts and no earlier sample is cached — check the "
+                f"dataset tree under {self.queries_path!r}"
+            )
         return self.default_sample
 
     def __getitem__(self, idx: int) -> Dict:

@@ -53,14 +53,21 @@ def evaluate_fsos(
         out = model.apply(params, target, mask, support_data=support)
         return out["logits"], out["is_true"][:, 0]
 
+    # Repeats must draw DIFFERENT support classes (compute_fsos.py:77-79
+    # samples from the full held-out class list every repetition) — default
+    # to the actual class count on disk, never to k, which would degenerate
+    # every repeat to the same support set.
+    if n_test_classes is None:
+        from isbfsar_tpu.train.dataloader import list_classes
+
+        n_test_classes = len(list_classes(queries_path))
+
     results = {"FSOS-ACC": [], "FS-ACC": [], "OS-ACC": []}
     for rep in range(n_repeats):
         sampler = FSOSEpisodicSampler(
             queries_path,
             exemplars_path,
-            support_class_ids=rng.sample(
-                range(n_test_classes or k), min(k, n_test_classes or k)
-            ),
+            support_class_ids=rng.sample(range(n_test_classes), min(k, n_test_classes)),
             l=config.seq_len,
             input_type=config.input_type,
         )

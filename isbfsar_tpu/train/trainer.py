@@ -134,11 +134,16 @@ class Trainer:
         self.batch_stats = replicate(variables.get("batch_stats", {}), self.mesh)
 
         steps_per_epoch = max(1, (config.n_task // config.batch_size))
+        # The schedule sits inside optax.MultiSteps, whose inner step count
+        # advances once per `optimize_every` accumulated micro-steps — so the
+        # epoch milestones (reference train.py:72-75 MultiStepLR) must be
+        # expressed in inner-update units, not micro-steps.
+        inner_per_epoch = max(1, steps_per_epoch // max(1, config.optimize_every))
         schedule = optax.piecewise_constant_schedule(
             config.initial_lr,
             {
-                config.first_milestone * steps_per_epoch: 0.1,
-                config.second_milestone * steps_per_epoch: 0.1,
+                config.first_milestone * inner_per_epoch: 0.1,
+                config.second_milestone * inner_per_epoch: 0.1,
             },
         )
         self.optimizer = optax.MultiSteps(

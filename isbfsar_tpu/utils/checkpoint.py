@@ -144,16 +144,31 @@ def rename_params(tree: Dict[str, Any], renames: Dict[str, str]) -> Dict[str, An
     '/'-joined prefixes) to new ones, applied to every leaf path.
 
     Example: rename_params(ckpt, {"post_resnet": "rgb_extractor/post"}).
+
+    Matching is segment-aligned: an entry only fires when its '/'-split
+    old segments match whole consecutive path segments (so renaming "fc1"
+    never touches "fc10" or "myfc1").
     """
     import flax
 
+    split_renames = [
+        (tuple(old.split("/")), tuple(new.split("/"))) for old, new in renames.items()
+    ]
+
+    def apply(path):
+        path = list(path)
+        for old, new in split_renames:
+            i = 0
+            while i + len(old) <= len(path):
+                if tuple(path[i : i + len(old)]) == old:
+                    path[i : i + len(old)] = list(new)
+                    i += len(new)
+                else:
+                    i += 1
+        return tuple(path)
+
     flat = flax.traverse_util.flatten_dict(tree)
-    out = {}
-    for path, leaf in flat.items():
-        joined = "/".join(path)
-        for old, new in renames.items():
-            joined = joined.replace(old, new)
-        out[tuple(joined.split("/"))] = leaf
+    out = {apply(path): leaf for path, leaf in flat.items()}
     return flax.traverse_util.unflatten_dict(out)
 
 
@@ -278,21 +293,30 @@ def _match_stat(flat_stats, param_base, leaf):
     return key if key in flat_stats else None
 
 
-def import_tf_vars(tf_vars, variables: Dict[str, Any]):
-    """Order-based TF->flax convnet import (the MetrABS EffNetV2-L path).
+def import_tf_vars(tf_vars, variables: Dict[str, Any], strict: bool = True):
+    """Layer-grouped TF->flax convnet import (the MetrABS EffNetV2-L path).
 
-    tf_vars: list of (name, numpy array) in TF variable order (what
-    ``model.crop_model.variables`` yields in the reference's extraction
-    script, setup/2_extract_bbone_heads.py:36-47). TF conv kernels are
-    already HWIO and depthwise kernels HWC1->HW1C-compatible, so only the
-    kind classification + order zip is needed:
+    ``tf_vars``: list of (name, numpy array) as yielded by the reference's
+    extraction script (``model.crop_model.variables``,
+    setup/2_extract_bbone_heads.py:36-47, consumed via Keras
+    ``set_weights``). Keras ``Model.variables`` lists all TRAINABLE weights
+    (kernels/gammas/betas/biases) in layer-creation order first, followed by
+    the non-trainable BN moving statistics — so a purely positional zip
+    would scramble the moving means/variances. This importer instead groups
+    variables by their layer prefix (name minus the trailing leaf), orders
+    layer groups by first appearance, and zips groups onto the flax tree in
+    definition order (it therefore accepts both the trainable-first and the
+    per-layer-interleaved layouts):
 
-    - 4D kernel -> next flax conv kernel (depthwise (h, w, c, 1) transposed
-      to flax's (h, w, 1, c))
-    - 'gamma'/'beta'/'moving_mean'/'moving_variance' -> next flax bn
-    - 2D kernel (+bias) -> next dense
+    - group with a 4D kernel -> next flax conv kernel (TF kernels are
+      already HWIO; depthwise (h, w, c, 1) transposed to flax (h, w, 1, c));
+      a 1-D 'bias' in the same group -> that conv's bias
+    - group with a 2D kernel -> next flax dense kernel (+bias)
+    - group with 'gamma' -> next flax bn: gamma->scale, beta->bias,
+      moving_mean->batch_stats mean, moving_variance->batch_stats var
 
-    Shape-checked per assignment. Returns a filled variables dict.
+    Every assignment is shape-checked, and any unconsumed TF variable raises
+    (``strict=True``) so import drift cannot pass silently.
     """
     import flax
 
@@ -302,55 +326,294 @@ def import_tf_vars(tf_vars, variables: Dict[str, Any]):
     dense_keys = [k for k in flat_params if k[-1] == "kernel" and flat_params[k].ndim == 2]
     scale_keys = [k for k in flat_params if k[-1] == "scale"]
 
+    # --- group variables by layer prefix, in order of first appearance
+    groups: Dict[str, Dict[str, np.ndarray]] = {}
+    group_order = []
+    for name, val in tf_vars:
+        arr = np.asarray(val)
+        base, _, leaf = name.rpartition("/")
+        leaf = leaf.split(":")[0]
+        if base not in groups:
+            groups[base] = {}
+            group_order.append(base)
+        if leaf in groups[base]:
+            raise ValueError(f"duplicate tf variable leaf {name!r}")
+        groups[base][leaf] = arr
+
     out_p = dict(flat_params)
     out_s = dict(flat_stats)
     ci = di = si = 0
-    bn_cursor = None  # base path of the bn currently being filled
 
-    for name, val in tf_vars:
-        arr = np.asarray(val)
-        leaf = name.rsplit("/", 1)[-1].split(":")[0]
-        if arr.ndim == 4:
+    def check(name, arr, key, store):
+        if tuple(arr.shape) != tuple(store[key].shape):
+            raise ValueError(
+                f"shape mismatch: tf {name} {arr.shape} vs flax "
+                f"{'/'.join(key)} {store[key].shape}"
+            )
+
+    for base in group_order:
+        g = groups[base]
+        consumed = set()
+        kernels4 = [l for l, a in g.items() if a.ndim == 4]
+        kernels2 = [l for l, a in g.items() if a.ndim == 2]
+        if kernels4:
+            (leaf,) = kernels4  # one conv per TF layer scope
+            arr = g[leaf]
+            if ci >= len(conv_keys):
+                raise ValueError(f"tf conv {base}/{leaf} has no flax conv left")
             key = conv_keys[ci]
             ci += 1
             want = out_p[key].shape
-            mapped = arr
-            if tuple(mapped.shape) != tuple(want) and arr.shape[-1] == 1 and want[-2] == 1:
-                mapped = arr.transpose(0, 1, 3, 2)  # TF depthwise HWC1 -> flax HW1C
-            if tuple(mapped.shape) != tuple(want):
-                raise ValueError(f"conv shape mismatch: tf {name} {mapped.shape} "
-                                 f"vs flax {'/'.join(key)} {want}")
-            out_p[key] = mapped
-        elif arr.ndim == 2:
+            if tuple(arr.shape) != tuple(want) and arr.shape[-1] == 1 and want[-2] == 1:
+                arr = arr.transpose(0, 1, 3, 2)  # TF depthwise HWC1 -> flax HW1C
+            check(f"{base}/{leaf}", arr, key, out_p)
+            out_p[key] = arr
+            consumed.add(leaf)
+            if "bias" in g:
+                bk = key[:-1] + ("bias",)
+                if bk not in out_p:
+                    raise ValueError(
+                        f"tf {base}/bias but flax conv {'/'.join(key[:-1])} has no bias"
+                    )
+                check(f"{base}/bias", g["bias"], bk, out_p)
+                out_p[bk] = g["bias"]
+                consumed.add("bias")
+        elif kernels2:
+            (leaf,) = kernels2
+            if di >= len(dense_keys):
+                raise ValueError(f"tf dense {base}/{leaf} has no flax dense left")
             key = dense_keys[di]
             di += 1
-            if tuple(arr.shape) != tuple(out_p[key].shape):
-                raise ValueError(f"dense shape mismatch: tf {name} {arr.shape} "
-                                 f"vs flax {'/'.join(key)} {out_p[key].shape}")
-            out_p[key] = arr
-        elif leaf == "gamma":
+            check(f"{base}/{leaf}", g[leaf], key, out_p)
+            out_p[key] = g[leaf]
+            consumed.add(leaf)
+            if "bias" in g:
+                bk = key[:-1] + ("bias",)
+                check(f"{base}/bias", g["bias"], bk, out_p)
+                out_p[bk] = g["bias"]
+                consumed.add("bias")
+        elif "gamma" in g or "beta" in g or "moving_mean" in g:
+            if si >= len(scale_keys):
+                raise ValueError(f"tf bn {base} has no flax bn left")
             key = scale_keys[si]
             si += 1
-            bn_cursor = key[:-1]
-            if arr.shape != out_p[key].shape:
-                raise ValueError(f"bn gamma mismatch: tf {name} {arr.shape} "
-                                 f"vs flax {'/'.join(key)} {out_p[key].shape}")
-            out_p[key] = arr
-        elif leaf == "beta" and bn_cursor is not None:
-            out_p[bn_cursor + ("bias",)] = arr
-        elif leaf == "moving_mean" and bn_cursor is not None:
-            if bn_cursor + ("mean",) in out_s:
-                out_s[bn_cursor + ("mean",)] = arr
-        elif leaf == "moving_variance" and bn_cursor is not None:
-            if bn_cursor + ("var",) in out_s:
-                out_s[bn_cursor + ("var",)] = arr
-        elif arr.ndim == 1:
-            # conv/dense bias follows its kernel: attach to the most recent
-            prev = (dense_keys[di - 1] if di else conv_keys[ci - 1])[:-1] + ("bias",)
-            if prev in out_p and out_p[prev].shape == arr.shape:
-                out_p[prev] = arr
+            bn_base = key[:-1]
+            mapping = {
+                "gamma": ("p", key),
+                "beta": ("p", bn_base + ("bias",)),
+                "moving_mean": ("s", bn_base + ("mean",)),
+                "moving_variance": ("s", bn_base + ("var",)),
+            }
+            for leaf, (store_kind, k) in mapping.items():
+                if leaf not in g:
+                    continue
+                store = out_p if store_kind == "p" else out_s
+                if k not in store:
+                    if store_kind == "s" and not flat_stats:
+                        consumed.add(leaf)  # caller passed a params-only template
+                        continue
+                    raise ValueError(f"tf bn leaf {base}/{leaf}: no flax slot {'/'.join(k)}")
+                check(f"{base}/{leaf}", g[leaf], k, store)
+                store[k] = g[leaf]
+                consumed.add(leaf)
+        unconsumed = set(g) - consumed
+        if unconsumed and strict:
+            raise ValueError(
+                f"unconsumed tf variables in layer {base!r}: {sorted(unconsumed)}"
+            )
 
     result = {"params": flax.traverse_util.unflatten_dict(out_p)}
     if flat_stats:
         result["batch_stats"] = flax.traverse_util.unflatten_dict(out_s)
     return result
+
+
+# --------------------------------------------------- name-mapped importers
+#
+# The order-based importers above zip parameters by (kind, iteration order),
+# which is provably correct only when the flax tree's iteration order equals
+# the upstream registration order — an invariant that silently breaks if the
+# variables dict has been rebuilt in sorted-key order (jax.tree.map does
+# this) or if two identically-shaped layers swap. The name-mapped importers
+# below take an EXPLICIT correspondence (upstream layer prefix -> flax
+# module path) generated per-architecture (models/yolov4.py
+# tianxiaomo_name_map, models/effnetv2.py metrabs_tf_name_map), making the
+# mapping order-independent and auditable layer by layer against the
+# upstream sources.
+
+
+def _assign_checked(store, key, arr, src_name):
+    if key not in store:
+        raise KeyError(f"{src_name}: no flax slot {'/'.join(key)}")
+    if tuple(arr.shape) != tuple(store[key].shape):
+        raise ValueError(
+            f"shape mismatch: {src_name} {arr.shape} vs flax "
+            f"{'/'.join(key)} {store[key].shape}"
+        )
+    store[key] = arr
+
+
+def import_named_convnet(
+    state_dict: Dict[str, Any],
+    variables: Dict[str, Any],
+    name_map: Dict[str, tuple],
+    strict: bool = True,
+):
+    """Torch->flax import driven by an explicit module-prefix map.
+
+    ``name_map`` maps a torch parameter prefix (the module path, e.g.
+    ``"down1.conv1.conv.0"``) to the flax module path tuple it corresponds
+    to (e.g. ``("backbone", "stem", "conv")``). Per prefix, the torch
+    parameter kinds decide the leaf mapping:
+
+    - 4D ``{p}.weight``  -> conv ``kernel`` (OIHW -> HWIO; depthwise OIHW
+      with I==1 -> flax (h, w, 1, c)), optional ``{p}.bias``
+    - 2D ``{p}.weight``  -> dense ``kernel`` (transposed), ``{p}.bias``
+    - 1D ``{p}.weight`` + ``{p}.running_mean`` present -> batchnorm:
+      weight->scale, bias->bias, running_mean/var -> batch_stats mean/var
+
+    strict=True raises if any torch parameter (except num_batches_tracked)
+    is not consumed or any map entry matched nothing — import drift is loud.
+    """
+    import flax
+
+    sd = strip_dataparallel(state_dict)
+    flat_p = dict(flax.traverse_util.flatten_dict(variables["params"]))
+    flat_s = dict(flax.traverse_util.flatten_dict(variables.get("batch_stats", {})))
+    consumed = set()
+
+    for prefix, flax_path in name_map.items():
+        flax_path = tuple(flax_path)
+        wk = f"{prefix}.weight"
+        if wk not in sd:
+            if strict:
+                raise KeyError(f"name_map prefix {prefix!r}: no {wk} in state dict")
+            continue
+        w = _t2n(sd[wk])
+        if w.ndim == 4:
+            # OIHW -> HWIO; depthwise OIHW with I==1 lands on flax (h, w, 1, c)
+            # under the same transpose.
+            _assign_checked(flat_p, flax_path + ("kernel",), w.transpose(2, 3, 1, 0), wk)
+            consumed.add(wk)
+            bk = f"{prefix}.bias"
+            if bk in sd:
+                _assign_checked(flat_p, flax_path + ("bias",), _t2n(sd[bk]), bk)
+                consumed.add(bk)
+        elif w.ndim == 2:
+            _assign_checked(flat_p, flax_path + ("kernel",), w.T, wk)
+            consumed.add(wk)
+            bk = f"{prefix}.bias"
+            if bk in sd:
+                _assign_checked(flat_p, flax_path + ("bias",), _t2n(sd[bk]), bk)
+                consumed.add(bk)
+        elif w.ndim == 1 and f"{prefix}.running_mean" in sd:
+            _assign_checked(flat_p, flax_path + ("scale",), w, wk)
+            _assign_checked(flat_p, flax_path + ("bias",), _t2n(sd[f"{prefix}.bias"]), f"{prefix}.bias")
+            _assign_checked(flat_s, flax_path + ("mean",), _t2n(sd[f"{prefix}.running_mean"]), f"{prefix}.running_mean")
+            _assign_checked(flat_s, flax_path + ("var",), _t2n(sd[f"{prefix}.running_var"]), f"{prefix}.running_var")
+            consumed |= {wk, f"{prefix}.bias", f"{prefix}.running_mean", f"{prefix}.running_var"}
+        else:
+            raise ValueError(f"{wk}: unsupported kind (ndim={w.ndim})")
+
+    leftover = [k for k in sd if k not in consumed and not k.endswith("num_batches_tracked")]
+    if leftover and strict:
+        raise ValueError(f"unconsumed torch parameters ({len(leftover)}): {leftover[:8]}...")
+
+    result = {"params": flax.traverse_util.unflatten_dict(flat_p)}
+    if flat_s:
+        result["batch_stats"] = flax.traverse_util.unflatten_dict(flat_s)
+    return result
+
+
+def import_tf_name_map(
+    tf_vars,
+    variables: Dict[str, Any],
+    name_map: Dict[str, tuple],
+    strict: bool = True,
+):
+    """TF->flax import driven by an explicit layer-scope map.
+
+    ``tf_vars``: list of (name, array) (reference extraction contract,
+    setup/2_extract_bbone_heads.py:36-47). ``name_map`` maps a TF layer
+    scope (e.g. ``"blocks_0/conv2d"``) to a flax module path tuple. A
+    leading model-name scope component on the variable (e.g.
+    ``"efficientnetv2-l/"``) is stripped automatically when the full name
+    has no map entry. Leaf mapping: kernel/depthwise_kernel -> conv kernel
+    (TF HWIO kept; depthwise HWC1 -> flax HW1C), bias -> bias, 2D kernel ->
+    dense, gamma/beta/moving_mean/moving_variance -> bn + batch_stats.
+    """
+    import flax
+
+    flat_p = dict(flax.traverse_util.flatten_dict(variables["params"]))
+    flat_s = dict(flax.traverse_util.flatten_dict(variables.get("batch_stats", {})))
+    matched_scopes = set()
+
+    for name, val in tf_vars:
+        arr = np.asarray(val)
+        base, _, leaf = name.rpartition("/")
+        leaf = leaf.split(":")[0]
+        scope = base
+        if scope not in name_map and "/" in scope:
+            scope = scope.split("/", 1)[1]  # strip the model-name scope
+        if scope not in name_map:
+            if strict:
+                raise KeyError(f"tf variable {name!r}: scope {base!r} not in name_map")
+            continue
+        flax_path = tuple(name_map[scope])
+        matched_scopes.add(scope)
+        if leaf in ("kernel", "depthwise_kernel") and arr.ndim == 4:
+            want = flat_p.get(flax_path + ("kernel",))
+            if want is None:
+                raise KeyError(f"{name}: no flax conv at {'/'.join(flax_path)}")
+            if tuple(arr.shape) != tuple(want.shape) and arr.shape[-1] == 1 and want.shape[-2] == 1:
+                arr = arr.transpose(0, 1, 3, 2)  # TF depthwise HWC1 -> flax HW1C
+            _assign_checked(flat_p, flax_path + ("kernel",), arr, name)
+        elif leaf == "kernel" and arr.ndim == 2:
+            _assign_checked(flat_p, flax_path + ("kernel",), arr, name)
+        elif leaf == "bias":
+            _assign_checked(flat_p, flax_path + ("bias",), arr, name)
+        elif leaf == "gamma":
+            _assign_checked(flat_p, flax_path + ("scale",), arr, name)
+        elif leaf == "beta":
+            _assign_checked(flat_p, flax_path + ("bias",), arr, name)
+        elif leaf == "moving_mean":
+            _assign_checked(flat_s, flax_path + ("mean",), arr, name)
+        elif leaf == "moving_variance":
+            _assign_checked(flat_s, flax_path + ("var",), arr, name)
+        else:
+            raise ValueError(f"tf variable {name!r}: unrecognized leaf {leaf!r}")
+
+    unused = set(name_map) - matched_scopes
+    if unused and strict:
+        raise ValueError(f"name_map entries matched no tf variable: {sorted(unused)[:8]}...")
+
+    result = {"params": flax.traverse_util.unflatten_dict(flat_p)}
+    if flat_s:
+        result["batch_stats"] = flax.traverse_util.unflatten_dict(flat_s)
+    return result
+
+
+def trxos_extract_rgb(state_dict: Dict[str, Any]) -> Dict[str, Any]:
+    """Extract the rgb branch of a reference TRXOS checkpoint as a
+    torchvision-named ResNet state dict.
+
+    The reference wraps torchvision resnet50's children in an nn.Sequential
+    (reference model.py:275-276: ``nn.Sequential(*list(resnet.children())[:-1])``),
+    so DISC.pth keys look like ``features_extractor.rgb.0.weight``. Children
+    indices: 0=conv1, 1=bn1, 4..7=layer1..4 (2/3 are param-free relu/pool,
+    8=avgpool; fc was dropped). Returns {} when no rgb branch is present.
+    """
+    sd = strip_dataparallel(state_dict)
+    index_names = {"0": "conv1", "1": "bn1", "4": "layer1", "5": "layer2",
+                   "6": "layer3", "7": "layer4"}
+    out = {}
+    prefix = "features_extractor.rgb."
+    for k, v in sd.items():
+        if not k.startswith(prefix):
+            continue
+        rest = k[len(prefix):]
+        idx, _, tail = rest.partition(".")
+        if idx not in index_names:
+            raise KeyError(f"unexpected rgb child index in {k!r}")
+        out[f"{index_names[idx]}.{tail}" if tail else index_names[idx]] = v
+    return out

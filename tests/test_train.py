@@ -405,23 +405,31 @@ class TestTFVarsImport:
 
         tf_vars = []
         want_p = {}
+        li = 0
         for key, val in flat_p.items():
             if key[-1] == "kernel" and val.ndim == 4:
+                li += 1
                 if val.shape[2] == 1:  # depthwise flax HW1C -> TF HWC1
                     arr = rng.normal(size=val.shape).astype(np.float32)
-                    tf_vars.append(("x/depthwise_kernel:0", arr.transpose(0, 1, 3, 2)))
+                    tf_vars.append((f"m/l{li}/depthwise_kernel:0", arr.transpose(0, 1, 3, 2)))
                 else:
                     arr = rng.normal(size=val.shape).astype(np.float32)
-                    tf_vars.append(("x/kernel:0", arr))
+                    tf_vars.append((f"m/l{li}/kernel:0", arr))
                 want_p[key] = arr
+                bk = key[:-1] + ("bias",)
+                if bk in flat_p:
+                    bias = rng.normal(size=val.shape[-1]).astype(np.float32)
+                    tf_vars.append((f"m/l{li}/bias:0", bias))
+                    want_p[bk] = bias
             elif key[-1] == "scale":
+                li += 1
                 n = val.shape[0]
                 g = rng.normal(size=n).astype(np.float32)
                 b = rng.normal(size=n).astype(np.float32)
                 m = rng.normal(size=n).astype(np.float32)
                 v = (rng.uniform(0.5, 1.5, n)).astype(np.float32)
-                tf_vars += [("x/gamma:0", g), ("x/beta:0", b),
-                            ("x/moving_mean:0", m), ("x/moving_variance:0", v)]
+                tf_vars += [(f"m/l{li}/gamma:0", g), (f"m/l{li}/beta:0", b),
+                            (f"m/l{li}/moving_mean:0", m), (f"m/l{li}/moving_variance:0", v)]
                 want_p[key] = g
                 want_p[key[:-1] + ("bias",)] = b
 
