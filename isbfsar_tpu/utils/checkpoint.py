@@ -53,8 +53,16 @@ def latest_checkpoint(directory: str) -> Optional[str]:
 
 
 def strip_dataparallel(state_dict: Dict[str, Any]) -> Dict[str, Any]:
-    """Remove DataParallel '.module' infixes (reference ar.py:17-19)."""
-    return {k.replace(".module", ""): v for k, v in state_dict.items()}
+    """Remove DataParallel 'module' path segments (reference ar.py:17-19).
+
+    Segment-aware: only a whole dotted component named ``module`` is
+    dropped — a plain substring replace would corrupt legitimate names
+    like Tianxiaomo's ``resblock.module_list``.
+    """
+    return {
+        ".".join(seg for seg in k.split(".") if seg != "module"): v
+        for k, v in state_dict.items()
+    }
 
 
 def _t2n(t) -> np.ndarray:
@@ -173,7 +181,15 @@ def rename_params(tree: Dict[str, Any], renames: Dict[str, str]) -> Dict[str, An
 
 
 def import_ordered_convnet(state_dict: Dict[str, Any], variables: Dict[str, Any]):
-    """Order-based torch->flax convnet import (YOLOv4 / EfficientNetV2 path).
+    """Order-based torch->flax convnet import (generic fallback).
+
+    CAUTION: correctness depends on the flax variables dict iterating in
+    definition order — which is lost if the tree was rebuilt in sorted-key
+    order (``jax.tree.map`` does this). For the actual reference
+    checkpoints use the explicit name-mapped importers instead:
+    :func:`import_yolov4_tianxiaomo`, :func:`import_metrabs_effnetv2`
+    (order-independent, auditable, tested against vendored upstream
+    layouts in tests/fixtures_upstream.py).
 
     The reference's engine toolchain consumes upstream torch/TF checkpoints
     whose module names don't match ours (Tianxiaomo YOLOv4, MetrABS
@@ -616,4 +632,50 @@ def trxos_extract_rgb(state_dict: Dict[str, Any]) -> Dict[str, Any]:
         if idx not in index_names:
             raise KeyError(f"unexpected rgb child index in {k!r}")
         out[f"{index_names[idx]}.{tail}" if tail else index_names[idx]] = v
+    return out
+
+
+def import_yolov4_tianxiaomo(state_dict: Dict[str, Any], variables: Dict[str, Any],
+                             strict: bool = True):
+    """Import the Tianxiaomo ``yolov4.pth`` checkpoint (the file the
+    reference's engine toolchain consumes, setup/1_extract_yolo_onnx.py)
+    onto models/yolov4.py. Accepts both the raw upstream key spelling
+    (``neek.*``) and the reference's rewritten one (``neck.*``)."""
+    from isbfsar_tpu.models.yolov4 import tianxiaomo_name_map
+
+    prefix = "neck" if any(k.startswith("neck.") for k in state_dict) else "neek"
+    return import_named_convnet(state_dict, variables,
+                                tianxiaomo_name_map(neck_prefix=prefix), strict=strict)
+
+
+def import_metrabs_effnetv2(tf_vars, variables: Dict[str, Any], strict: bool = True):
+    """Import the MetrABS EfficientNetV2-L backbone variables (the list the
+    reference extracts via ``model.crop_model.variables`` and pours into a
+    fresh Keras model, setup/2_extract_bbone_heads.py:36-47) onto
+    models/effnetv2.py."""
+    from isbfsar_tpu.models.effnetv2 import metrabs_tf_name_map
+
+    return import_tf_name_map(tf_vars, variables, metrabs_tf_name_map(), strict=strict)
+
+
+def import_trxos_full(state_dict: Dict[str, Any], input_type: str = "skeleton"):
+    """Assemble the COMPLETE flax TRXOS variables from a reference DISC/EXP
+    checkpoint: skeleton MLP + transformer + discriminator
+    (:func:`import_trxos_torch`) plus, for rgb/hybrid checkpoints, the
+    ResNet-50 rgb branch (``features_extractor.rgb.*`` Sequential children,
+    reference model.py:275-276) and the PostResNet projection
+    (``post_resnet.l1``, model.py:207-216)."""
+    out = import_trxos_torch(state_dict, input_type)
+    if input_type not in ("rgb", "hybrid"):
+        return out
+    sd = strip_dataparallel(state_dict)
+    rgb = trxos_extract_rgb(sd)
+    if not rgb:
+        raise KeyError(f"input_type={input_type!r} but no features_extractor.rgb.* keys")
+    rn = import_resnet_torch(rgb)
+    out["params"]["rgb_extractor"] = {
+        "ResNet_0": rn["params"],
+        "post": _dense(sd, "post_resnet.l1"),
+    }
+    out["batch_stats"] = {"rgb_extractor": {"ResNet_0": rn["batch_stats"]}}
     return out
