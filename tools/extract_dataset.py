@@ -71,8 +71,48 @@ def extract_clip(estimator, video_path: str, n_frames: int, with_images: bool):
     return poses, crops
 
 
-def main() -> None:
+def extract_tree(estimator, videos_root: str, out_root: str, n_frames: int = 16,
+                 with_images: bool = False):
+    """Walk ``videos_root/<class>/<clip-video>`` and emit the training tree.
+
+    Resumable: clips already extracted for a class are skipped by counting
+    existing clip dirs (reference extract_skeleton_rgb_from_nturgbd.py:57-84).
+    Returns the list of clip dirs written THIS run.
+    """
     import cv2
+
+    written = []
+    for class_name in sorted(os.listdir(videos_root)):
+        class_dir = os.path.join(videos_root, class_name)
+        if not os.path.isdir(class_dir):
+            continue
+        out_class = os.path.join(out_root, class_name)
+        os.makedirs(out_class, exist_ok=True)
+        done = len(os.listdir(out_class))
+        videos = sorted(os.listdir(class_dir))
+        for idx, vid in enumerate(videos):
+            if idx < done:
+                continue
+            result = extract_clip(
+                estimator, os.path.join(class_dir, vid), n_frames, with_images
+            )
+            if result is None:
+                print(f"[extract] SKIP {class_name}/{vid} (no usable pose)")
+                continue
+            poses, crops = result
+            clip_dir = os.path.join(out_class, str(idx))
+            os.makedirs(clip_dir, exist_ok=True)
+            for i, pose in enumerate(poses):
+                np.save(os.path.join(clip_dir, f"{i}.npy"), pose.astype(np.float32))
+                if with_images:
+                    cv2.imwrite(os.path.join(clip_dir, f"{i}.png"), crops[i])
+            print(f"[extract] {class_name}/{vid} -> {clip_dir}")
+            written.append(clip_dir)
+    return written
+
+
+def main() -> None:
+    import dataclasses
 
     from isbfsar_tpu.configs import CameraIntrinsics, HPEConfig
     from isbfsar_tpu.hpe.estimator import HumanPoseEstimator
@@ -85,38 +125,19 @@ def main() -> None:
     parser.add_argument("--checkpoint", default=None, help="HPE params msgpack")
     args = parser.parse_args()
 
-    estimator = HumanPoseEstimator(HPEConfig(), CameraIntrinsics())
+    # skeleton=None -> the estimator emits the FULL 122-joint pose; the
+    # dataset tree stores (122, 3) and the episodic loader selects the
+    # 30-joint skeleton at load time (reference extraction stores 122 too,
+    # extract_skeleton_rgb_from_nturgbd.py:105).
+    estimator = HumanPoseEstimator(
+        dataclasses.replace(HPEConfig(), skeleton=None), CameraIntrinsics()
+    )
     if args.checkpoint:
         from isbfsar_tpu.utils.checkpoint import load_checkpoint
 
         estimator.params = load_checkpoint(args.checkpoint, estimator.params)
 
-    for class_name in sorted(os.listdir(args.videos)):
-        class_dir = os.path.join(args.videos, class_name)
-        if not os.path.isdir(class_dir):
-            continue
-        out_class = os.path.join(args.out, class_name)
-        os.makedirs(out_class, exist_ok=True)
-        # resumability: skip clips already extracted (reference :57-84)
-        done = len(os.listdir(out_class))
-        videos = sorted(os.listdir(class_dir))
-        for idx, vid in enumerate(videos):
-            if idx < done:
-                continue
-            result = extract_clip(
-                estimator, os.path.join(class_dir, vid), args.n_frames, args.with_images
-            )
-            if result is None:
-                print(f"[extract] SKIP {class_name}/{vid} (no usable pose)")
-                continue
-            poses, crops = result
-            clip_dir = os.path.join(out_class, str(idx))
-            os.makedirs(clip_dir, exist_ok=True)
-            for i, pose in enumerate(poses):
-                np.save(os.path.join(clip_dir, f"{i}.npy"), pose.astype(np.float32))
-                if args.with_images:
-                    cv2.imwrite(os.path.join(clip_dir, f"{i}.png"), crops[i])
-            print(f"[extract] {class_name}/{vid} -> {clip_dir}")
+    extract_tree(estimator, args.videos, args.out, args.n_frames, args.with_images)
 
 
 if __name__ == "__main__":
