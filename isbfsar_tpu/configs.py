@@ -80,6 +80,11 @@ class HPEConfig:
     yolo_thresh: float = 0.3
     nms_thresh: float = 0.7
     num_aug: int = 0  # test-time augmentation count; 0 disables
+    # "mean": visibility-weighted average over non-flipped augs (this
+    # framework's improvement). "aug0": the reference's literal semantics —
+    # compute the aug batch, keep only aug 0's de-rotated prediction
+    # (reference hpe.py:109 reshape(1, ...) + :169 pred3d[0]).
+    tta_aggregate: str = "mean"
     just_box: bool = False  # rgb mode: only the person bbox is needed
     yolo_input_size: int = 256
     crop_size: int = 256

@@ -39,7 +39,12 @@ CANONICAL_FACE_3D = np.array(
 
 
 def rotmat_to_rotvec(r: jnp.ndarray) -> jnp.ndarray:
-    """SO(3) log map: (..., 3, 3) -> (..., 3) axis-angle vector."""
+    """SO(3) log map: (..., 3, 3) -> (..., 3) axis-angle vector.
+
+    Handles the angle ~ pi branch explicitly (the antisymmetric-part
+    formula degenerates there and would silently return ~0 — a near-pi
+    head rotation must NOT read as frontal in the focus heuristics).
+    """
     trace = r[..., 0, 0] + r[..., 1, 1] + r[..., 2, 2]
     cos = jnp.clip((trace - 1.0) / 2.0, -1.0, 1.0)
     angle = jnp.arccos(cos)
@@ -53,7 +58,19 @@ def rotmat_to_rotvec(r: jnp.ndarray) -> jnp.ndarray:
     )
     sin = jnp.sin(angle)
     scale = jnp.where(jnp.abs(sin) > 1e-6, angle / (2.0 * sin + 1e-12), 0.5)
-    return axis_raw * scale[..., None]
+    rotvec_generic = axis_raw * scale[..., None]
+
+    # angle ~ pi: R + I == 2 aa^T; |axis| from the diagonal, signs from the
+    # column of (R + I) with the largest diagonal entry.
+    b = (r + jnp.eye(3, dtype=r.dtype)) / 2.0
+    diag = jnp.stack([b[..., 0, 0], b[..., 1, 1], b[..., 2, 2]], axis=-1)
+    k = jnp.argmax(diag, axis=-1)
+    col = jnp.take_along_axis(b, k[..., None, None], axis=-1)[..., 0]  # (..., 3)
+    axis_pi = col / (jnp.linalg.norm(col, axis=-1, keepdims=True) + 1e-12)
+    rotvec_pi = axis_pi * angle[..., None]
+
+    near_pi = (cos < -1.0 + 1e-4)[..., None]
+    return jnp.where(near_pi, rotvec_pi, rotvec_generic)
 
 
 def kabsch(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
@@ -67,30 +84,54 @@ def kabsch(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
     return mm(mm(u, flip), vt).T
 
 
+def umeyama(src: jnp.ndarray, dst: jnp.ndarray):
+    """Similarity Procrustes: (rot, scale, t) with dst ~ scale * rot @ src + t."""
+    mu_s = src.mean(axis=0)
+    mu_d = dst.mean(axis=0)
+    sc, dc = src - mu_s, dst - mu_d
+    h = mm(sc.T, dc)
+    u, svals, vt = jnp.linalg.svd(h)
+    d = jnp.sign(jnp.linalg.det(mm(u, vt).T))
+    flip = jnp.diag(jnp.asarray([1.0, 1.0, 1.0]) * jnp.stack([1.0, 1.0, d]))
+    rot = mm(mm(u, flip), vt).T
+    scale = (svals[0] + svals[1] + svals[2] * d) / jnp.maximum((sc**2).sum(), 1e-12)
+    t = mu_d - scale * mm(rot, mu_s[:, None])[:, 0]
+    return rot, scale, t
+
+
 def head_pose_from_landmarks(
     landmarks_px: jnp.ndarray,
     intrinsics: jnp.ndarray,
     assumed_depth: float = 0.6,
+    iters: int = 6,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Head rotation + position from 6 detected 2D landmarks.
+    """Head rotation + METRIC position from 6 detected 2D landmarks.
 
-    landmarks_px: (6, 2) pixel coords; intrinsics: (3, 3).
-    Weak-perspective lift: back-project each landmark to the assumed depth,
-    then Kabsch-align the canonical model. Returns (R (3, 3), t (3,)).
+    landmarks_px: (6, 2) pixel coords; intrinsics: (3, 3). Iterative
+    weak-perspective PnP (jit-safe, fixed ``iters``): back-project the
+    landmarks along their camera rays, similarity-Procrustes the canonical
+    model onto the lifted points (the SCALE term absorbs the depth-guess
+    error — plain Kabsch leaks it into the rotation and underestimates
+    yaw ~2x), then re-lift each ray at the aligned model's per-point
+    metric depth. Converges in a handful of iterations; the recovered
+    center carries the true distance (a 0.3 m face no longer reads as
+    ``assumed_depth``), which also makes the ETH-XGaze normalization
+    zoom meaningful. Returns (R (3, 3), t (3,)).
+
+    The reference gets this from ptgaze's solvePnP
+    (modules/focus/gaze_estimation/focus.py:9-24); tests/test_focus.py pins
+    this rebuild against exact synthetic projections.
     """
     rays = mm(to_homogeneous(landmarks_px), inv_intrinsics(intrinsics).T)  # (6, 3)
     canonical = jnp.asarray(CANONICAL_FACE_3D)
-
-    # Two-pass weak-perspective lift: a flat lift (all points at the assumed
-    # depth) biases the rotation because the canonical model has real depth
-    # variation; a second pass re-lifts each landmark with the rotated
-    # model's per-point depth, which removes most of that bias.
-    lifted = rays * assumed_depth
-    rot = kabsch(canonical, lifted)
-    depth = assumed_depth + mm(canonical, rot.T)[:, 2:3]
-    lifted = rays * depth
-    rot = kabsch(canonical, lifted)
-    center = lifted.mean(axis=0)
+    depth = jnp.full((canonical.shape[0], 1), assumed_depth)
+    for _ in range(iters):
+        lifted = rays * depth
+        rot, scale, t = umeyama(canonical, lifted)
+        t_metric = t / jnp.maximum(scale, 1e-6)
+        model_cam = mm(canonical, rot.T) + t_metric
+        depth = model_cam[:, 2:3]
+    center = model_cam.mean(axis=0)
     return rot, center
 
 
@@ -99,14 +140,18 @@ def normalization_camera(
     intrinsics: jnp.ndarray,
     norm_distance: float = 0.6,
     out_size: int = 224,
-    focal_norm: float = 960.0,
+    focal_norm: float = None,
 ):
     """ETH-XGaze-style normalization: a virtual camera looking at the face.
 
     Returns (warp (3, 3) mapping normalized-crop pixels -> frame pixels,
     R_norm (3, 3) the normalizing rotation). The scale factor moves the face
-    to ``norm_distance``; the crop uses a fixed normalized focal length.
+    to ``norm_distance``; the normalized focal length defaults to the
+    ETH-XGaze face convention (960 at a 224 crop) scaled with ``out_size``
+    so smaller crops keep the same field of view.
     """
+    if focal_norm is None:
+        focal_norm = 960.0 * out_size / 224.0
     z_axis = face_center / jnp.linalg.norm(face_center)
     down = jnp.asarray([0.0, 1.0, 0.0])
     x_axis = jnp.cross(down, z_axis)

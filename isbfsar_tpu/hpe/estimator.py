@@ -178,9 +178,14 @@ class HumanPoseEstimator:
         pose_all = jnp.einsum("bjc,jn->bnc", pred3d, self.joint_matrix,
                               precision=jax.lax.Precision.HIGHEST)
 
-        if self._tta is not None:
+        if self._tta is not None and cfg.tta_aggregate == "aug0":
+            # exact reference semantics: the aug batch is computed but only
+            # aug 0's decoded+de-rotated prediction survives (hpe.py:109,169)
+            pose = pose_all[0]
+            visible = jnp.sum(fov[0]) >= fov.shape[1] / 4
+        elif self._tta is not None:
             # aggregate over non-flipped augs (visibility-weighted mean);
-            # the reference computes the batch and keeps only aug 0
+            # a genuine TTA ensemble instead of the reference's aug0 pick
             w = self._tta["keep"] * (jnp.sum(fov, axis=1) >= fov.shape[1] / 4)
             w = w / jnp.maximum(jnp.sum(w), 1.0)
             pose = jnp.einsum("b,bnc->nc", w, pose_all)

@@ -61,18 +61,20 @@ def reconstruct_reference_point(
     w = validity.astype(normalized_2d.dtype) + 1e-4  # (b, j)
     w = jnp.repeat(w, 2, axis=-1)[..., None]  # (b, 2j, 1)
 
-    # lstsq(W A, W b) == solve(Aᵀ W² A, Aᵀ W² b); the system is (3, 3).
-    # Normal equations square the condition number, so in float32 we add one
-    # step of iterative refinement against the true residual to recover
-    # lstsq-grade accuracy (sub-mm parity with the reference's np.lstsq).
+    # SVD pseudo-inverse with np.linalg.lstsq's default rcond cutoff — the
+    # reference's exact solver semantics (misc.py:172 np.linalg.lstsq).
+    # Normal equations would square the condition number AND, when the 2D
+    # decode degenerates (all joints clustered), return batch-layout-
+    # dependent garbage; the rcond cutoff keeps the solution stable.
     aw = a * w
     bw = rhs * w
-    gram = jnp.einsum("bri,brj->bij", aw, aw, precision=_HI)
-    rhs3 = jnp.einsum("bri,brj->bij", aw, bw, precision=_HI)  # (b, 3, 1)
-    x = jnp.linalg.solve(gram, rhs3)
-    resid = bw - jnp.einsum("brj,bjk->brk", aw, x, precision=_HI)
-    corr = jnp.einsum("bri,brk->bik", aw, resid, precision=_HI)
-    x = x + jnp.linalg.solve(gram, corr)
+    u, s, vt = jnp.linalg.svd(aw, full_matrices=False)  # (b,2j,3),(b,3),(b,3,3)
+    eps = jnp.finfo(s.dtype).eps
+    cutoff = s[..., :1] * (max(aw.shape[-2:]) * eps)
+    s_inv = jnp.where(s > cutoff, 1.0 / jnp.maximum(s, 1e-30), 0.0)
+    utb = jnp.einsum("bri,brk->bik", u, bw, precision=_HI)  # (b, 3, 1)
+    x = jnp.einsum("bij,bjk->bik", jnp.swapaxes(vt, 1, 2), s_inv[..., None] * utb,
+                   precision=_HI)
     ref = x[..., 0]  # (b, 3)
 
     # Undo the RMS conditioning (misc.py:175).

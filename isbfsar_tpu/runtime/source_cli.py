@@ -39,15 +39,27 @@ def main() -> None:
                         choices=["synthetic", "video", "webcam", "realsense"])
     parser.add_argument("--path", default=None, help="video file for --source video")
     parser.add_argument("--max-frames", type=int, default=None)
+    parser.add_argument("--gui", action="store_true",
+                        help="interactive 2x2 panel (reference VisPy GUI); "
+                             "commands typed into the window")
     args = parser.parse_args()
+
+    if args.gui:
+        from isbfsar_tpu.runtime.visualizer import GUIVisualizer
+
+        visualizer = GUIVisualizer()
+        command_stream = visualizer.commands()
+    else:
+        visualizer = ConsoleVisualizer()
+        command_stream = _stdin_commands()
 
     kw = {"path": args.path} if args.source == "video" else {}
     source = make_source(args.source, **kw)
     n = run_source(
         source,
         hub_host=args.hub,
-        visualizer=ConsoleVisualizer(),
-        command_stream=_stdin_commands(),
+        visualizer=visualizer,
+        command_stream=command_stream,
         max_frames=args.max_frames,
     )
     print(f"[isbfsar-tpu] source done after {n} frames")

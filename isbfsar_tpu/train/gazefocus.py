@@ -1,0 +1,337 @@
+"""Training harness for the gaze-focus networks (F1's route to weights).
+
+The reference's primary focus path wraps externally-pretrained nets it can
+never train (mediapipe face detection + ETH-XGaze ResNet-18 via ptgaze,
+reference modules/focus/gaze_estimation/focus.py:9-140, weights
+utils/params.py:110-116). This framework's BlazeFaceLite/GazeNet
+(models/gaze.py) are its own nets, so they need a training path:
+
+- :class:`BlazeFaceTrainer` — single-stage anchor detection loss (the
+  train/detection.py pattern: IoU assignment, BCE scores, smooth-L1 boxes)
+  extended with landmark smooth-L1 on the matched anchor.
+- :class:`GazeTrainer` — (pitch, yaw) regression on *normalized* face crops
+  produced by the SAME head-pose + normalization-camera + warp chain the
+  live detector runs (focus/detector.py:107-120), so train and inference
+  distributions match.
+- :func:`render_face_scene` — deterministic synthetic supervision: a
+  schematic face whose bbox/landmarks are known exactly and whose pupil
+  offsets encode the gaze label.
+- :func:`train_focus_params` — end-to-end: returns the ``{"face_det",
+  "gaze_net"}`` params dict ``FocusDetector(params=...)`` consumes.
+
+With real datasets (WIDER-face boxes + ETH-XGaze normalized crops) the same
+trainers apply unchanged; the synthetic generator exists so the full loop
+is exercisable and tested in this repo.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from isbfsar_tpu.configs import CameraIntrinsics, FocusConfig
+from isbfsar_tpu.focus.geometry import head_pose_from_landmarks, normalization_camera
+from isbfsar_tpu.models.gaze import BlazeFaceLite, GazeNet
+from isbfsar_tpu.ops.warp import warp_image_bilinear
+from isbfsar_tpu.train.detection import pairwise_iou
+
+
+# ------------------------------------------------------- synthetic scenes
+
+
+# canonical ear-to-ear width of CANONICAL_FACE_3D (meters)
+_FACE_WIDTH = 0.14
+
+
+def render_face_scene(
+    area_frac: float,
+    gaze_pitchyaw: Tuple[float, float] = (0.0, 0.0),
+    center: Optional[Tuple[float, float]] = None,
+    frame_hw: Tuple[int, int] = (480, 640),
+    rng: Optional[np.random.Generator] = None,
+    head_yaw: float = 0.0,
+    intrinsics: Optional[CameraIntrinsics] = None,
+) -> Tuple[np.ndarray, Dict[str, np.ndarray]]:
+    """Schematic face with EXACT projective ground truth.
+
+    The 6 landmarks are the canonical 3D face model (focus/geometry.py
+    CANONICAL_FACE_3D) rotated by ``head_yaw`` around the vertical axis,
+    placed at the depth where the face spans ``area_frac`` of the frame,
+    and projected through the real camera intrinsics — so the ground-truth
+    head pose of the scene is exactly R_y(head_yaw).
+
+    Returns (frame uint8 BGR, {"bbox": (4,) x1y1x2y2 in [0,1],
+    "landmarks": (6, 2) in [0,1] — mediapipe order: subject's right eye
+    (image-left for an unmirrored frontal subject), left eye, nose, mouth,
+    right ear, left ear}). Pupils shift with ``gaze_pitchyaw`` so a
+    regressor can read the gaze label off the crop.
+    """
+    import cv2
+
+    from isbfsar_tpu.focus.geometry import CANONICAL_FACE_3D
+
+    rng = rng or np.random.default_rng(0)
+    h, w = frame_hw
+    k = (intrinsics or CameraIntrinsics()).matrix()
+    f = float(k[0, 0])
+    side = float(np.sqrt(area_frac * w * h))
+    cx, cy = center if center is not None else (w / 2, h / 2)
+
+    # face center in camera space: depth where the canonical width spans
+    # `side` pixels, x/y back-projected from the requested pixel center
+    z = f * _FACE_WIDTH / side
+    pos = np.asarray([(cx - k[0, 2]) / f * z, (cy - k[1, 2]) / f * z, z])
+    c, s = np.cos(head_yaw), np.sin(head_yaw)
+    rot_y = np.asarray([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+    pts3 = CANONICAL_FACE_3D @ rot_y.T + pos
+    proj = pts3 @ k.T
+    lms = (proj[:, :2] / proj[:, 2:3]).astype(np.float32)  # (6, 2) pixels
+
+    frame = rng.integers(0, 60, (h, w, 3)).astype(np.uint8)
+    cv2.ellipse(frame, (int(cx), int(cy)), (int(side / 2), int(side / 2)),
+                0, 0, 360, (120, 150, 200), -1)
+
+    pitch, yaw = gaze_pitchyaw
+    eye_r = max(3, int(side * 0.14))
+    pupil_r = max(2, int(eye_r * 0.55))
+    pupil_dx = int(np.clip(yaw, -1, 1) * (eye_r - pupil_r))
+    pupil_dy = int(np.clip(pitch, -1, 1) * (eye_r - pupil_r))
+    for ex, ey in lms[:2]:  # eyes
+        cv2.circle(frame, (int(ex), int(ey)), eye_r, (250, 250, 250), -1)
+        cv2.circle(frame, (int(ex + pupil_dx), int(ey + pupil_dy)), pupil_r, (20, 20, 20), -1)
+    cv2.circle(frame, (int(lms[2, 0]), int(lms[2, 1])), max(1, eye_r // 2), (60, 90, 160), -1)
+    cv2.ellipse(frame, (int(lms[3, 0]), int(lms[3, 1])), (int(side * 0.18), max(1, eye_r // 2)),
+                0, 0, 360, (40, 40, 120), -1)
+    for ex, ey in lms[4:]:  # ears
+        cv2.circle(frame, (int(ex), int(ey)), max(1, eye_r // 2), (110, 140, 190), -1)
+
+    bbox = np.asarray(
+        [cx - side / 2, cy - side / 2, cx + side / 2, cy + side / 2], np.float32
+    )
+    return frame, {
+        "bbox": bbox / np.asarray([w, h, w, h], np.float32),
+        "landmarks": lms / np.asarray([w, h], np.float32),
+        "head_rotvec": np.asarray([0.0, head_yaw, 0.0], np.float32),
+    }
+
+
+class SyntheticFaceSampler:
+    """Random scenes spanning small-to-large faces and gaze directions."""
+
+    def __init__(self, frame_hw=(480, 640), seed: int = 0):
+        self.frame_hw = frame_hw
+        self.rng = np.random.default_rng(seed)
+
+    def sample(
+        self, min_area: float = 0.005, max_area: float = 0.25
+    ) -> Tuple[np.ndarray, Dict[str, np.ndarray], Tuple[float, float]]:
+        h, w = self.frame_hw
+        area = float(np.exp(self.rng.uniform(np.log(min_area), np.log(max_area))))
+        side = np.sqrt(area * w * h)
+        cx = self.rng.uniform(side / 2 + 2, w - side / 2 - 2)
+        cy = self.rng.uniform(side / 2 + 2, h - side / 2 - 2)
+        gaze = (float(self.rng.uniform(-0.8, 0.8)), float(self.rng.uniform(-0.8, 0.8)))
+        head_yaw = float(self.rng.uniform(-0.7, 0.7))
+        frame, gt = render_face_scene(
+            area, gaze, (cx, cy), self.frame_hw, self.rng, head_yaw=head_yaw
+        )
+        return frame, gt, gaze
+
+
+# -------------------------------------------------------- detector trainer
+
+
+def blazeface_loss(boxes, lms, scores, gt_box, gt_lms,
+                   pos_iou: float = 0.35, neg_iou: float = 0.3):
+    """Single image, single GT face.
+
+    EVERY anchor above ``pos_iou`` (plus the best-IoU one) is positive and
+    gets score target 1 + box/landmark smooth-L1 — the live detector picks
+    the argmax-SCORE anchor (focus/detector.py:102), so any anchor allowed
+    to score high must also carry a trained box; a lone best-IoU positive
+    leaves high-scoring "ignored" anchors with untrained boxes.
+    """
+    iou = pairwise_iou(boxes, gt_box[None])[:, 0]  # (n,)
+    best = jnp.argmax(iou)
+    pos_mask = jnp.logical_or(
+        iou >= pos_iou, jnp.zeros(scores.shape[0], bool).at[best].set(True)
+    )
+    neg_mask = jnp.logical_and(iou < neg_iou, jnp.logical_not(pos_mask))
+    n_pos = jnp.maximum(jnp.sum(pos_mask), 1.0)
+
+    p = jnp.clip(scores, 1e-6, 1 - 1e-6)
+    score_loss = -(
+        jnp.sum(jnp.log(p) * pos_mask) / n_pos
+        + jnp.sum(jnp.log(1 - p) * neg_mask) / jnp.maximum(jnp.sum(neg_mask), 1.0)
+    )
+
+    def smooth_l1(x):
+        a = jnp.abs(x)
+        return jnp.where(a < 1.0, 0.5 * a * a, a - 0.5)
+
+    box_loss = jnp.sum(smooth_l1(boxes - gt_box[None]).sum(-1) * pos_mask) / n_pos
+    lm_loss = jnp.sum(smooth_l1(lms - gt_lms[None]).sum((-1, -2)) * pos_mask) / n_pos
+    return score_loss + 5.0 * box_loss + 2.0 * lm_loss, {
+        "score_loss": score_loss, "box_loss": box_loss, "lm_loss": lm_loss,
+    }
+
+
+class BlazeFaceTrainer:
+    def __init__(self, config: FocusConfig = FocusConfig(), seed: int = 0, lr: float = 3e-4):
+        self.net = BlazeFaceLite(dtype=jnp.dtype(config.compute_dtype))
+        self.variables = jax.jit(
+            lambda k: self.net.init(k, jnp.zeros((1, 128, 128, 3)))
+        )(jax.random.key(seed))
+        self.optimizer = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(lr))
+        self.opt_state = self.optimizer.init(self.variables)
+
+        def loss_fn(variables, batch):
+            boxes, lms, scores = self.net.apply(variables, batch["image"])
+            losses, aux = jax.vmap(blazeface_loss)(
+                boxes, lms, scores, batch["bbox"], batch["landmarks"]
+            )
+            return jnp.mean(losses), jax.tree.map(jnp.mean, aux)
+
+        def step(variables, opt_state, batch):
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(variables, batch)
+            updates, opt_state = self.optimizer.update(grads, opt_state, variables)
+            return optax.apply_updates(variables, updates), opt_state, loss, aux
+
+        self._step = jax.jit(step, donate_argnums=(0, 1))
+
+    def train_step(self, batch) -> float:
+        batch = jax.tree.map(jnp.asarray, batch)
+        self.variables, self.opt_state, loss, _ = self._step(
+            self.variables, self.opt_state, batch
+        )
+        return float(loss)
+
+
+# ------------------------------------------------------------ gaze trainer
+
+
+def make_normalized_crop_fn(config: FocusConfig, intrinsics: Optional[CameraIntrinsics] = None):
+    """jit'd (frame, landmarks_px) -> normalized gaze crop, via the SAME
+    head-pose + normalization-camera + warp chain the live detector runs
+    (focus/detector.py:107-120)."""
+    k_matrix = jnp.asarray((intrinsics or CameraIntrinsics()).matrix())
+    size = config.gaze_image_size
+    dist = config.normalized_camera_distance
+
+    @jax.jit
+    def crop_fn(frame, landmarks_px):
+        _, center = head_pose_from_landmarks(landmarks_px, k_matrix, dist)
+        warp, _ = normalization_camera(center, k_matrix, dist, size)
+        crop = warp_image_bilinear(frame.astype(jnp.float32), warp[None], size)
+        return (crop[0, ..., ::-1] / 255.0).astype(jnp.float32)  # BGR -> RGB
+
+    return crop_fn
+
+
+class GazeTrainer:
+    def __init__(self, config: FocusConfig = FocusConfig(), seed: int = 0, lr: float = 3e-4):
+        self.net = GazeNet(dtype=jnp.dtype(config.compute_dtype))
+        size = config.gaze_image_size
+        variables = jax.jit(
+            lambda k: self.net.init(k, jnp.zeros((1, size, size, 3)))
+        )(jax.random.key(seed))
+        self.params = variables["params"]
+        self.batch_stats = variables["batch_stats"]
+        self.optimizer = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(lr))
+        self.opt_state = self.optimizer.init(self.params)
+
+        # train=True + mutable batch_stats: a deep resnet trained on frozen
+        # init statistics barely learns (activations never get normalized)
+        def loss_fn(params, batch_stats, batch):
+            pred, new_state = self.net.apply(
+                {"params": params, "batch_stats": batch_stats},
+                batch["crop"], train=True, mutable=["batch_stats"],
+            )
+            loss = jnp.mean(jnp.sum((pred - batch["pitchyaw"]) ** 2, axis=-1))
+            return loss, new_state["batch_stats"]
+
+        def step(params, batch_stats, opt_state, batch):
+            (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch_stats, batch
+            )
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), new_stats, opt_state, loss
+
+        self._step = jax.jit(step, donate_argnums=(0, 1, 2))
+
+    @property
+    def variables(self):
+        return {"params": self.params, "batch_stats": self.batch_stats}
+
+    def train_step(self, batch) -> float:
+        batch = jax.tree.map(jnp.asarray, batch)
+        self.params, self.batch_stats, self.opt_state, loss = self._step(
+            self.params, self.batch_stats, self.opt_state, batch
+        )
+        return float(loss)
+
+
+# ------------------------------------------------------------- end-to-end
+
+
+def train_focus_params(
+    config: FocusConfig = FocusConfig(),
+    n_steps_det: int = 300,
+    n_steps_gaze: int = 200,
+    batch_size: int = 8,
+    frame_hw: Tuple[int, int] = (480, 640),
+    seed: int = 0,
+    lr_det: float = 3e-4,
+    lr_gaze: float = 3e-4,
+    lm_jitter: float = 0.005,
+) -> Dict:
+    """Train BlazeFaceLite + GazeNet on synthetic supervision and return the
+    params dict ``FocusDetector(params=...)`` consumes."""
+    import cv2
+
+    sampler = SyntheticFaceSampler(frame_hw, seed=seed)
+    det_trainer = BlazeFaceTrainer(config, seed=seed, lr=lr_det)
+    gaze_trainer = GazeTrainer(config, seed=seed, lr=lr_gaze)
+    crop_fn = make_normalized_crop_fn(config)
+
+    h, w = frame_hw
+    for step in range(n_steps_det):
+        imgs, bxs, lmss = [], [], []
+        for _ in range(batch_size):
+            frame, gt, _ = sampler.sample()
+            imgs.append(cv2.resize(frame, (128, 128))[..., ::-1] / 255.0)
+            bxs.append(gt["bbox"])
+            lmss.append(gt["landmarks"])
+        det_trainer.train_step({
+            "image": np.asarray(imgs, np.float32),
+            "bbox": np.stack(bxs),
+            "landmarks": np.stack(lmss),
+        })
+
+    scale = np.asarray([w, h], np.float32)
+    for step in range(n_steps_gaze):
+        crops, labels = [], []
+        for _ in range(batch_size):
+            # the gaze net is only consumed on the "close" branch
+            # (bbox area > area_thr): train it on that face-size regime.
+            # Landmark jitter approximates the live detector's localization
+            # noise (the live path frames crops with PREDICTED landmarks).
+            frame, gt, gaze = sampler.sample(min_area=0.04)
+            lms = gt["landmarks"] + sampler.rng.normal(0, lm_jitter, (6, 2))
+            crop = crop_fn(jnp.asarray(frame), jnp.asarray((lms * scale).astype(np.float32)))
+            crops.append(np.asarray(crop))
+            labels.append(gaze)
+        gaze_trainer.train_step({
+            "crop": np.stack(crops),
+            "pitchyaw": np.asarray(labels, np.float32),
+        })
+
+    return {
+        "face_det": jax.tree.map(np.asarray, det_trainer.variables),
+        "gaze_net": jax.tree.map(np.asarray, gaze_trainer.variables),
+    }

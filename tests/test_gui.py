@@ -1,0 +1,82 @@
+"""GUI visualizer (reference VISPYVisualizer, utils/output.py:8-280)."""
+
+import numpy as np
+import pytest
+
+matplotlib = pytest.importorskip("matplotlib")
+matplotlib.use("Agg", force=True)
+
+from isbfsar_tpu.runtime.visualizer import GUIVisualizer, get_color
+
+
+class _Key:
+    def __init__(self, key):
+        self.key = key
+
+
+ELEMENTS = {
+    "fps": 22.1,
+    "distance": 1.5,
+    "focus": True,
+    "actions": {"wave": 0.8, "point": 0.2},
+    "is_true": 0.7,
+    "requires_focus": {"wave": True, "point": False},
+    "img": np.random.default_rng(0).integers(0, 255, (480, 640, 3)).astype(np.uint8),
+    "bbox": (100, 300, 50, 400),
+    "face_bbox": np.asarray([150, 80, 250, 200]),
+    "pose": np.random.default_rng(1).normal(0, 0.2, (30, 3)),
+    "edges": np.stack([np.arange(29), np.arange(1, 30)], 1),
+    "log": "Action wave learned successfully!",
+}
+
+
+@pytest.fixture(scope="module")
+def gui():
+    return GUIVisualizer(backend="Agg")
+
+
+class TestGUIVisualizer:
+    def test_offscreen_render(self, gui):
+        img = gui.render(ELEMENTS)
+        assert img.ndim == 3 and img.shape[2] == 3 and img.dtype == np.uint8
+        # the four panels put real content on the dark canvas
+        assert img.mean() > 5
+        assert len(np.unique(img.reshape(-1, 3), axis=0)) > 50
+
+    def test_render_without_person(self, gui):
+        # frames with no detection render (empty skeleton/action panels)
+        img = gui.render({"fps": 1.0, "img": ELEMENTS["img"], "actions": {}})
+        assert img.mean() > 0
+
+    def test_keyboard_console(self, gui):
+        """printer() contract (reference output.py:20-34): typing, backspace,
+        Enter submits, '\\' toggles rendering, '`' toggles the os bar."""
+        for k in "add":
+            gui._on_key(_Key(k))
+        gui._on_key(_Key("space"))
+        gui._on_key(_Key("x"))
+        gui._on_key(_Key("backspace"))
+        gui._on_key(_Key("w"))
+        assert gui.input_text == ">add w"
+        gui._on_key(_Key("enter"))
+        cmds = gui.commands()
+        assert next(cmds) == "add w"
+        assert next(cmds) == ""  # drained
+        assert gui.input_text == ">"
+
+        assert gui.show_enabled is True
+        gui._on_key(_Key("\\"))
+        assert gui.show_enabled is False
+        gui._on_key(_Key("\\"))
+        gui._on_key(_Key("`"))
+        assert gui.show_os is False
+        gui._on_key(_Key("`"))
+
+    def test_log_line_from_elements(self, gui):
+        gui.render(dict(ELEMENTS, log="Classes saved!"))
+        assert gui.log_text == "Classes saved!"
+
+    def test_score_colors(self):
+        assert get_color(0.1) == "red"
+        assert get_color(0.5) == "orange"
+        assert get_color(0.9) == "green"
