@@ -123,6 +123,12 @@ def bench_full() -> dict:
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / 30.0, 3),
+        # Distribution receipts (VERDICT round-1 item 5): the headline is a
+        # median-of-3 stream trial; the spread and the synchronous-path tail
+        # ride along so the JSON itself is honest about variance.
+        "stream_trials_fps": [round(t, 1) for t in trials],
+        "sync_p50_ms": round(p50, 2),
+        "sync_p99_ms": round(p99, 2),
     }
 
 

@@ -125,6 +125,9 @@ class ARConfig:
     second_milestone: int = 10000
     eval_every_n_epoch: int = 10
     checkpoint_dir: Optional[str] = None
+    # "msgpack" (single-file, live-service format) or "orbax"
+    # (sharding-aware directory format for multi-chip training runs).
+    ckpt_backend: str = "msgpack"
     data_path: Optional[str] = None
 
     compute_dtype: str = "float32"  # the TRX is tiny; f32 keeps parity tight
@@ -188,6 +191,12 @@ class PipelineConfig:
     hpe: HPEConfig = dataclasses.field(default_factory=HPEConfig)
     ar: ARConfig = dataclasses.field(default_factory=ARConfig)
     focus: FocusConfig = dataclasses.field(default_factory=FocusConfig)
+    # Fused Pallas I420 decode+resize+normalize input stage
+    # (ops/pallas_input.py). None = default OFF: measured slower end-to-end
+    # than the composed XLA path on v5e (docs/PERF.md "Pallas input
+    # stage"); both are parity-exact, the kernel stays as the measured
+    # decision record.
+    pallas_input: Optional[bool] = None
 
     @staticmethod
     def for_input(input_type: InputType) -> "PipelineConfig":

@@ -119,12 +119,18 @@ class HumanPoseEstimator:
 
     # ------------------------------------------------------------ jit bodies
 
-    def _detect(self, params, frame):
-        """frame (H, W, 3) uint8 -> clamped pixel bbox + found flag."""
+    def _detect(self, params, frame, yolo_in=None):
+        """frame (H, W, 3) uint8 -> clamped pixel bbox + found flag.
+
+        yolo_in: optional precomputed (1, S, S, 3) RGB/255 network input
+        (the Pallas fused input stage emits it alongside the decoded frame,
+        ops/pallas_input.py); None resizes/normalizes here.
+        """
         cfg = self.config
         h, w = frame.shape[0], frame.shape[1]
-        small = resize_area(frame, cfg.yolo_input_size, cfg.yolo_input_size)
-        yolo_in = (small[..., ::-1] / 255.0)[None]  # BGR -> RGB, NHWC
+        if yolo_in is None:
+            small = resize_area(frame, cfg.yolo_input_size, cfg.yolo_input_size)
+            yolo_in = (small[..., ::-1] / 255.0)[None]  # BGR -> RGB, NHWC
         boxes, confs = self.yolo.apply(params["yolo"], yolo_in)
         box, conf, found = best_person_box(boxes, confs, cfg.yolo_thresh)
         # Pixel coords, truncated, clamped at 0 (reference hpe.py:76-79).
@@ -142,9 +148,9 @@ class HumanPoseEstimator:
         (x1, y1, x2, y2), conf, found = self._detect(params, frame)
         return jnp.stack([x1, y1, x2, y2]), conf, found
 
-    def _estimate_impl(self, params, frame):
+    def _estimate_impl(self, params, frame, yolo_in=None):
         cfg = self.config
-        (x1, y1, x2, y2), conf, found = self._detect(params, frame)
+        (x1, y1, x2, y2), conf, found = self._detect(params, frame, yolo_in=yolo_in)
 
         f32 = lambda v: v.astype(jnp.float32)
         new_k, rot = virtual_camera(f32(x1), f32(x2), f32(y1), f32(y2), self.k_matrix, cfg.crop_size)

@@ -106,6 +106,18 @@ class FusedPipeline:
         self.with_focus = with_focus
         self.focus = (focus or FocusDetector(self.config.focus, self.config.intrinsics)) if with_focus else None
 
+        # Pallas fused input stage — measured SLOWER end-to-end than the
+        # composed XLA path on v5e (108.3 vs 111.3 FPS median, p50 48.6 vs
+        # 44.8 ms; docs/PERF.md "Pallas input stage"), so the default is
+        # OFF; the kernel stays available behind the flag as the decision
+        # record (parity-tested in tests/test_pallas_input.py).
+        pi = self.config.pallas_input
+        if pi is None:
+            pi = False
+        self._pallas_input = bool(pi) and input_format == "i420"
+        # Off-TPU (CPU test meshes) the kernel runs in interpreter mode.
+        self._pallas_interpret = jax.default_backend() != "tpu"
+
         cfg = self.config.ar
         fields = {
             "pose": (cfg.n_joints, 3),
@@ -155,20 +167,37 @@ class FusedPipeline:
     # ----------------------------------------------------------- fused step
 
     def _decode_frame(self, frame):
-        """Raw transport frame -> (H, W, 3) BGR on device."""
+        """Raw transport frame -> ((H, W, 3) BGR on device, yolo_in | None).
+
+        With the Pallas input stage enabled the fused kernel emits the
+        decoded frame AND the YOLO input in one HBM pass (ops/
+        pallas_input.py); otherwise the composed XLA path decodes here and
+        the estimator resizes internally (yolo_in=None).
+        """
         if self.input_format == "i420":
+            if self._pallas_input:
+                from isbfsar_tpu.ops.pallas_input import fused_i420_inputs
+
+                return fused_i420_inputs(
+                    frame,
+                    self.hpe.frame_shape[0],
+                    self.config.hpe.yolo_input_size,
+                    interpret=self._pallas_interpret,
+                )
             from isbfsar_tpu.ops.image import i420_to_bgr
 
-            return i420_to_bgr(frame, self.hpe.frame_shape[0])
-        return frame
+            return i420_to_bgr(frame, self.hpe.frame_shape[0]), None
+        return frame, None
 
-    def _frame_core(self, params, frame, state, support_kv, support_mask):
+    def _frame_core(self, params, frame, state, support_kv, support_mask, yolo_in=None):
         """Shared single-frame body (frame already BGR-decoded): pose +
         per-frame feature + ring push + match.
         Returns (values dict, new StreamState)."""
         cfg = self.config.ar
 
-        pose, bbox, conf, found, visible = self.hpe._estimate_impl(params["hpe"], frame)
+        pose, bbox, conf, found, visible = self.hpe._estimate_impl(
+            params["hpe"], frame, yolo_in=yolo_in
+        )
         # rgb mode gates only on detection (the reference's just_box path has
         # no pose/visibility, main.py:76-93); skeleton/hybrid also require
         # the FOV-visibility flag (hpe.py:149-153)
@@ -228,8 +257,10 @@ class FusedPipeline:
 
         Returns (packed f32 vector, new_state).
         """
-        frame = self._decode_frame(frame)
-        values, state = self._frame_core(params, frame, state, support_kv, support_mask)
+        frame, yolo_in = self._decode_frame(frame)
+        values, state = self._frame_core(
+            params, frame, state, support_kv, support_mask, yolo_in=yolo_in
+        )
 
         if self.with_focus:
             f = self.focus._forward_impl(params["focus"], frame)
@@ -259,11 +290,12 @@ class FusedPipeline:
         """
         cfg = self.config.ar
         b = frames.shape[0]
-        frames = jax.vmap(self._decode_frame)(frames)
+        frames, yolo_ins = jax.vmap(self._decode_frame)(frames)
 
         pose, bbox, conf, found, visible = jax.vmap(
-            self.hpe._estimate_impl, in_axes=(None, 0)
-        )(params["hpe"], frames)
+            lambda p, f, y: self.hpe._estimate_impl(p, f, yolo_in=y),
+            in_axes=(None, 0, None if yolo_ins is None else 0),
+        )(params["hpe"], frames, yolo_ins)
         pose_ok = found if self.input_type == "rgb" else jnp.logical_and(found, visible)
 
         distance = jnp.linalg.norm(pose[:, 0], axis=-1) * 2.5

@@ -140,7 +140,8 @@ class MutualGazeTrainer:
         return binary_prf(np.concatenate(trues), np.concatenate(preds))
 
     def cross_validate(self, root: str, n_epochs: int = 1, batch_size: int = 8,
-                       ckpt_dir: Optional[str] = None) -> List[Dict[str, float]]:
+                       ckpt_dir: Optional[str] = None,
+                       augment: bool = True) -> List[Dict[str, float]]:
         """Leave-one-session-out CV with best-F1 checkpointing (train.py:14-200)."""
         sessions = sorted(os.listdir(root))
         results = []
@@ -149,7 +150,8 @@ class MutualGazeTrainer:
             test_data = WatchingDataset(root, test_s, self.config.crop_size)
             best_f1 = -1.0
             for epoch in range(n_epochs):
-                loss = self.train_epoch(train_data, batch_size, seed=epoch)
+                loss = self.train_epoch(train_data, batch_size, augment=augment,
+                                        seed=epoch)
                 metrics = self.evaluate(test_data, batch_size)
                 self.logger.log({"fold": fold, "loss": loss, **metrics}, step=epoch)
                 if ckpt_dir and metrics["f1"] > best_f1:

@@ -57,7 +57,7 @@ def main() -> None:
     parser.add_argument("--batch-size", type=int, default=None)
     parser.add_argument("--n-task", type=int, default=None)
     parser.add_argument("--log-dir", default="runs/trx")
-    parser.add_argument("--resume", default=None, help="checkpoint msgpack to resume")
+    parser.add_argument("--resume", default=None, help="checkpoint to resume (msgpack file or orbax dir)")
     args = parser.parse_args()
 
     from isbfsar_tpu.train.dataloader import EpisodicSampler, list_classes

@@ -264,5 +264,6 @@ class Trainer:
                         "opt_state": self.opt_state,
                     },
                     meta={"epoch": epoch},
+                    backend=cfg.ckpt_backend,
                 )
         return last

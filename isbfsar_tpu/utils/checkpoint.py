@@ -21,17 +21,45 @@ import numpy as np
 from flax import serialization
 
 
-def save_checkpoint(directory: str, step: int, tree: Any, meta: Optional[Dict] = None) -> str:
+def save_checkpoint(directory: str, step: int, tree: Any,
+                    meta: Optional[Dict] = None,
+                    backend: str = "msgpack") -> str:
+    """Write one checkpoint; returns its path.
+
+    backend "msgpack" (default): single flax-serialization file + JSON
+    sidecar — compact, dependency-light, the live-service format.
+    backend "orbax": an Orbax StandardCheckpointer directory — sharding-
+    aware (each host writes only its addressable shards) and async-capable,
+    the right format for large multi-chip training runs; metadata goes in
+    the same JSON sidecar. Both are discovered by :func:`latest_checkpoint`
+    and read back by :func:`load_checkpoint`.
+    """
     os.makedirs(directory, exist_ok=True)
-    path = os.path.join(directory, f"{step}.msgpack")
-    with open(path, "wb") as f:
-        f.write(serialization.to_bytes(tree))
+    if backend == "orbax":
+        path = os.path.join(directory, f"{step}.orbax")
+        import orbax.checkpoint as ocp
+
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(os.path.abspath(path), tree, force=True)
+    elif backend == "msgpack":
+        path = os.path.join(directory, f"{step}.msgpack")
+        with open(path, "wb") as f:
+            f.write(serialization.to_bytes(tree))
+    else:
+        raise ValueError(f"unknown checkpoint backend {backend!r}")
     with open(os.path.join(directory, f"{step}.json"), "w") as f:
         json.dump({"step": step, **(meta or {})}, f)
     return path
 
 
 def load_checkpoint(path: str, template: Any) -> Any:
+    """Read a checkpoint written by :func:`save_checkpoint` (either
+    backend, dispatched on the path: directory = orbax, file = msgpack)."""
+    if os.path.isdir(path):
+        import orbax.checkpoint as ocp
+
+        with ocp.StandardCheckpointer() as ckptr:
+            return ckptr.restore(os.path.abspath(path), template)
     with open(path, "rb") as f:
         return serialization.from_bytes(template, f.read())
 
@@ -40,13 +68,14 @@ def latest_checkpoint(directory: str) -> Optional[str]:
     if not os.path.isdir(directory):
         return None
     steps = [
-        int(f.split(".")[0])
+        (int(f.split(".")[0]), f)
         for f in os.listdir(directory)
-        if f.endswith(".msgpack") and f.split(".")[0].isdigit()
+        if (f.endswith(".msgpack") or f.endswith(".orbax"))
+        and f.split(".")[0].isdigit()
     ]
     if not steps:
         return None
-    return os.path.join(directory, f"{max(steps)}.msgpack")
+    return os.path.join(directory, max(steps)[1])
 
 
 # ------------------------------------------------------------- torch import

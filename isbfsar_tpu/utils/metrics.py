@@ -47,9 +47,16 @@ class MetricsLogger:
 
     def log(self, metrics: Dict, step: Optional[int] = None) -> None:
         record = {"time": time.time(), "step": step}
-        record.update(
-            {k: (float(v) if np.isscalar(v) or getattr(v, "ndim", 1) == 0 else v) for k, v in metrics.items()}
-        )
+        def norm(v):
+            # numpy scalars/0-d arrays -> python floats; strings and other
+            # JSON-native values pass through (np.isscalar is True for str).
+            if isinstance(v, str):
+                return v
+            if isinstance(v, (int, float, bool, np.number)) or getattr(v, "ndim", 1) == 0:
+                return float(v)
+            return v
+
+        record.update({k: norm(v) for k, v in metrics.items()})
         self._file.write(json.dumps(record) + "\n")
         self._file.flush()
         if self._wandb is not None:

@@ -130,3 +130,54 @@ class TestMutualGazeTraining:
         ]
         metrics = evaluate_gaze_heuristic(FakeDetector(), frames)
         assert metrics["accuracy"] == 1.0 and metrics["f1"] == 1.0
+
+
+class TestMutualGazeSweep:
+    """The 8-config sweep driver (reference train_with_multiple_configurations.py)."""
+
+    def test_default_grid_names(self):
+        from isbfsar_tpu.train.sweep import default_grid
+
+        grid = default_grid()
+        assert [e.group for e in grid] == [
+            "RNET MARIA SMALL", "RNET MARIA BIG", "RNET MY SMALL", "RNET MY BIG",
+            "MNET MARIA SMALL", "MNET MARIA BIG", "MNET MY SMALL", "MNET MY BIG",
+        ]
+        assert grid[0].config.backbone == "resnet50"
+        assert grid[4].config.backbone == "resnet18"
+        assert grid[0].augment and not grid[2].augment
+
+    def test_sweep_runs_and_skips_missing(self, tmp_path):
+        from isbfsar_tpu.train.sweep import SweepEntry, run_sweep
+
+        root = str(tmp_path / "sweeproot")
+        _make_watching_dataset(os.path.join(root, "tiny"), n_per=2)
+        cfg = dataclasses.replace(MutualGazeConfig(), crop_size=32, lr=1e-3)
+        grid = [
+            SweepEntry("A TINY", cfg, "tiny", augment=True),
+            SweepEntry("B MISSING", cfg, "absent_dataset", augment=False),
+        ]
+        summary = run_sweep(
+            root, grid=grid, n_epochs=1, batch_size=4,
+            log_dir=str(tmp_path / "log"), ckpt_dir=str(tmp_path / "ck"),
+            only_best=False,
+        )
+        # present dataset ran the 2-fold CV, absent one was skipped not crashed
+        assert set(summary) == {"A TINY"}
+        assert "f1" in summary["A TINY"] and "f1_var" in summary["A TINY"]
+        assert 0.0 <= summary["A TINY"]["f1"] <= 1.0
+        assert os.listdir(tmp_path / "ck" / "A_TINY")
+
+    def test_only_best_runs_first_entry(self, tmp_path):
+        from isbfsar_tpu.train.sweep import SweepEntry, run_sweep
+
+        root = str(tmp_path / "sweeproot")
+        _make_watching_dataset(os.path.join(root, "tiny"), n_per=2)
+        cfg = dataclasses.replace(MutualGazeConfig(), crop_size=32, lr=1e-3)
+        grid = [
+            SweepEntry("FIRST", cfg, "tiny"),
+            SweepEntry("SECOND", cfg, "tiny"),
+        ]
+        summary = run_sweep(root, grid=grid, n_epochs=1, batch_size=4,
+                            log_dir=str(tmp_path / "log"))
+        assert set(summary) == {"FIRST"}  # reference's groups[:1] quirk

@@ -131,6 +131,51 @@ class TestCheckpoint:
         np.testing.assert_array_equal(loaded["a"], tree["a"])
         assert ckpt.latest_checkpoint(str(tmp_path)).endswith("7.msgpack")
 
+    def test_orbax_backend_roundtrip(self, tmp_path, rng):
+        """Orbax directory checkpoints: save/restore/discovery parity with
+        the msgpack backend (the multi-chip training format)."""
+        import jax.numpy as jnp
+
+        tree = {
+            "params": {"w": jnp.asarray(rng.normal(size=(3, 4)), jnp.float32)},
+            "step": jnp.int32(3),
+        }
+        path = ckpt.save_checkpoint(str(tmp_path), 2, tree, meta={"epoch": 2},
+                                    backend="orbax")
+        assert path.endswith("2.orbax") and (tmp_path / "2.orbax").is_dir()
+        template = {"params": {"w": jnp.zeros((3, 4))}, "step": jnp.int32(0)}
+        loaded = ckpt.load_checkpoint(path, template)
+        np.testing.assert_array_equal(np.asarray(loaded["params"]["w"]),
+                                      np.asarray(tree["params"]["w"]))
+        assert int(loaded["step"]) == 3
+        # discovery picks the highest step across BOTH formats
+        ckpt.save_checkpoint(str(tmp_path), 1, tree)
+        assert ckpt.latest_checkpoint(str(tmp_path)).endswith("2.orbax")
+        ckpt.save_checkpoint(str(tmp_path), 5, tree)
+        assert ckpt.latest_checkpoint(str(tmp_path)).endswith("5.msgpack")
+
+    def test_trainer_orbax_backend(self, dataset, tmp_path):
+        """Trainer fit() honors ckpt_backend='orbax' end-to-end."""
+        root, _ = dataset
+        sampler = EpisodicSampler(root, k=5, n_task=8, max_l=16, l=16, seed=3)
+        cfg = dataclasses.replace(
+            CFG, n_task=8, checkpoint_dir=str(tmp_path / "ck"),
+            ckpt_backend="orbax",
+        )
+        trainer = Trainer(
+            cfg, sampler, valid_sampler=None,
+            mesh=make_mesh(8), log_dir=str(tmp_path / "r"), use_wandb=False,
+        )
+        trainer.fit(n_epochs=1)
+        latest = ckpt.latest_checkpoint(str(tmp_path / "ck"))
+        assert latest is not None and latest.endswith(".orbax")
+        restored = ckpt.load_checkpoint(
+            latest,
+            {"params": trainer.params, "batch_stats": trainer.batch_stats,
+             "opt_state": trainer.opt_state},
+        )
+        assert "params" in restored
+
     def test_torch_trxos_import(self, rng):
         import torch
 
