@@ -81,3 +81,44 @@ def dp_parity_check(n_devices: int, atol: float = 2e-6) -> Dict[str, float]:
             f"(1 device vs {n_devices} devices)\n1-dev metrics: {m1}\nn-dev metrics: {mn}"
         )
     return report
+
+
+def way_sharding_parity_check(n_devices: int, atol: float = 1e-5) -> Dict[str, float]:
+    """Assert the way-sharded (expert-parallel) support match equals the
+    single-device cached match (parallel/support.py's correctness claim):
+    a 2*n_devices-class support set sharded over the mesh must reproduce
+    the recognizer's own probabilities and open-set score."""
+    from isbfsar_tpu.ar.recognizer import ActionRecognizer
+    from isbfsar_tpu.configs import ARConfig
+    from isbfsar_tpu.parallel.mesh import make_mesh
+    from isbfsar_tpu.parallel.support import WayShardedMatcher
+
+    cfg = dataclasses.replace(ARConfig.for_input("skeleton"), way=2 * n_devices)
+    ar = ActionRecognizer(cfg)
+    rng = np.random.default_rng(0)
+    for i in range(cfg.way - 3):  # a few masked slots stay empty
+        ar.train({
+            "flag": f"class_{i}",
+            "data": {"poses": rng.normal(size=(cfg.seq_len, 90)).astype(np.float32)},
+            "requires_focus": False,
+        })
+    frames = [rng.normal(size=90).astype(np.float32) for _ in range(cfg.seq_len)]
+    for f in frames[:-1]:
+        ar.inference({"sk": f})
+    ref_probs, ref_ist, _ = ar.inference({"sk": frames[-1]})
+
+    matcher = WayShardedMatcher(ar, make_mesh(n_devices))
+    probs, ist = matcher.match_window({"sk": np.stack(frames)})
+    assert set(probs) == set(ref_probs)
+    max_prob_diff = max(abs(probs[n] - ref_probs[n]) for n in ref_probs)
+    report = {
+        "max_prob_diff": max_prob_diff,
+        "is_true_diff": abs(ist - ref_ist),
+        "classes_per_device": matcher._features.sharding.shard_shape(
+            matcher._features.shape
+        )[0],
+    }
+    assert max_prob_diff <= atol and report["is_true_diff"] <= atol, (
+        f"way-sharding parity violated: {report}"
+    )
+    return report

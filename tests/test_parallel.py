@@ -13,3 +13,46 @@ def test_dp_step_matches_single_device():
 
     report = dp_parity_check(8)
     assert report["max_param_diff"] <= 2e-6
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_way_sharded_match_parity():
+    """Expert-parallel support matching: a way=16 support set sharded over
+    8 devices must produce the SAME class probabilities and open-set score
+    as the recognizer's single-device cached match."""
+    import dataclasses
+
+    import numpy as np
+
+    from isbfsar_tpu.ar.recognizer import ActionRecognizer
+    from isbfsar_tpu.configs import ARConfig
+    from isbfsar_tpu.parallel.mesh import make_mesh
+    from isbfsar_tpu.parallel.support import WayShardedMatcher
+
+    cfg = dataclasses.replace(ARConfig.for_input("skeleton"), way=16)
+    ar = ActionRecognizer(cfg)
+    rng = np.random.default_rng(0)
+    for i in range(11):  # 11 live classes, 5 masked slots
+        ar.train({
+            "flag": f"class_{i}",
+            "data": {"poses": rng.normal(size=(cfg.seq_len, 90)).astype(np.float32)},
+            "requires_focus": False,
+        })
+
+    # reference result: the recognizer's own (unsharded) frame-by-frame path
+    frames = [rng.normal(size=90).astype(np.float32) for _ in range(cfg.seq_len)]
+    for f in frames[:-1]:
+        ar.inference({"sk": f})
+    ref_probs, ref_ist, _ = ar.inference({"sk": frames[-1]})
+
+    matcher = WayShardedMatcher(ar, make_mesh(8))
+    window = {"sk": np.stack(frames)}
+    probs, ist = matcher.match_window(window)
+
+    assert set(probs) == set(ref_probs)
+    for name in ref_probs:
+        assert abs(probs[name] - ref_probs[name]) < 1e-5, (name, probs[name], ref_probs[name])
+    assert abs(ist - ref_ist) < 1e-5
+    # the features really are distributed: each device holds way/8 classes
+    shards = matcher._features.sharding.shard_shape(matcher._features.shape)
+    assert shards[0] == 2  # 16 classes / 8 devices
