@@ -91,11 +91,14 @@ def bench_full() -> dict:
     p50 = float(np.percentile(lat, 50) * 1000)
     p99 = float(np.percentile(lat, 99) * 1000)
 
-    # micro-batched streaming throughput (one device round-trip per 8 frames;
+    # micro-batched streaming throughput (one device round-trip per batch;
     # amortizes the host<->device sync that dominates on remote-attached
-    # chips). The relay's sustained transfer rate varies with shared load
-    # (docs/PERF.md) — report the median of three trials.
-    batch = 8
+    # chips). Batch sweep on v5e (docs/PERF.md): 8 -> 94.8, 16 -> 111.5,
+    # 32 -> 117.0 FPS median; 16 is the throughput/latency knee (a batch of
+    # added pipeline delay ~= 145 ms vs ~270 ms at 32). The relay's
+    # sustained transfer rate varies with shared load — report the median
+    # of three trials, spread in the JSON.
+    batch = 16
     for _ in pipe.stream_batched((frames[i % len(frames)] for i in range(2 * batch)), batch):
         pass
     n_stream = 128

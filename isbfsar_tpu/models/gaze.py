@@ -39,6 +39,15 @@ def pitchyaw_to_vector(pitchyaw: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def vector_to_pitchyaw(v: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3) gaze vector -> (..., 2) pitch/yaw radians; exact inverse of
+    :func:`pitchyaw_to_vector` for unit vectors (ETH-XGaze convention)."""
+    n = v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+    pitch = jnp.arcsin(jnp.clip(-n[..., 1], -1.0, 1.0))
+    yaw = jnp.arctan2(-n[..., 0], -n[..., 2])
+    return jnp.stack([pitch, yaw], axis=-1)
+
+
 class GazeNet(nn.Module):
     """ETH-XGaze-style gaze regressor: normalized face crop -> (pitch, yaw)."""
 

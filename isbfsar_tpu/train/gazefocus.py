@@ -36,7 +36,7 @@ import optax
 
 from isbfsar_tpu.configs import CameraIntrinsics, FocusConfig
 from isbfsar_tpu.focus.geometry import head_pose_from_landmarks, normalization_camera
-from isbfsar_tpu.models.gaze import BlazeFaceLite, GazeNet
+from isbfsar_tpu.models.gaze import BlazeFaceLite, GazeNet, pitchyaw_to_vector, vector_to_pitchyaw
 from isbfsar_tpu.ops.warp import warp_image_bilinear
 from isbfsar_tpu.train.detection import pairwise_iou
 
@@ -215,10 +215,14 @@ class BlazeFaceTrainer:
 # ------------------------------------------------------------ gaze trainer
 
 
-def make_normalized_crop_fn(config: FocusConfig, intrinsics: Optional[CameraIntrinsics] = None):
+def make_normalized_crop_fn(config: FocusConfig, intrinsics: Optional[CameraIntrinsics] = None,
+                            with_rnorm: bool = False):
     """jit'd (frame, landmarks_px) -> normalized gaze crop, via the SAME
     head-pose + normalization-camera + warp chain the live detector runs
-    (focus/detector.py:107-120)."""
+    (focus/detector.py:107-120). with_rnorm=True also returns the
+    normalizing rotation R_norm (for rotating gaze LABELS into the
+    normalized camera — the frame the net's output is interpreted in,
+    detector.py:122-123; ETH-XGaze trains exactly this way)."""
     k_matrix = jnp.asarray((intrinsics or CameraIntrinsics()).matrix())
     size = config.gaze_image_size
     dist = config.normalized_camera_distance
@@ -226,9 +230,10 @@ def make_normalized_crop_fn(config: FocusConfig, intrinsics: Optional[CameraIntr
     @jax.jit
     def crop_fn(frame, landmarks_px):
         _, center = head_pose_from_landmarks(landmarks_px, k_matrix, dist)
-        warp, _ = normalization_camera(center, k_matrix, dist, size)
+        warp, r_norm = normalization_camera(center, k_matrix, dist, size)
         crop = warp_image_bilinear(frame.astype(jnp.float32), warp[None], size)
-        return (crop[0, ..., ::-1] / 255.0).astype(jnp.float32)  # BGR -> RGB
+        rgb = (crop[0, ..., ::-1] / 255.0).astype(jnp.float32)  # BGR -> RGB
+        return (rgb, r_norm) if with_rnorm else rgb
 
     return crop_fn
 
@@ -297,7 +302,7 @@ def train_focus_params(
     sampler = SyntheticFaceSampler(frame_hw, seed=seed)
     det_trainer = BlazeFaceTrainer(config, seed=seed, lr=lr_det)
     gaze_trainer = GazeTrainer(config, seed=seed, lr=lr_gaze)
-    crop_fn = make_normalized_crop_fn(config)
+    crop_fn = make_normalized_crop_fn(config, with_rnorm=True)
 
     h, w = frame_hw
     for step in range(n_steps_det):
@@ -323,9 +328,16 @@ def train_focus_params(
             # noise (the live path frames crops with PREDICTED landmarks).
             frame, gt, gaze = sampler.sample(min_area=0.04)
             lms = gt["landmarks"] + sampler.rng.normal(0, lm_jitter, (6, 2))
-            crop = crop_fn(jnp.asarray(frame), jnp.asarray((lms * scale).astype(np.float32)))
+            crop, r_norm = crop_fn(
+                jnp.asarray(frame), jnp.asarray((lms * scale).astype(np.float32))
+            )
             crops.append(np.asarray(crop))
-            labels.append(gaze)
+            # Label in the NORMALIZED camera (what the net's output means,
+            # detector.py:122-123): rotate the scene's camera-frame gaze by
+            # R_norm. Without this, off-center faces carry labels
+            # inconsistent with their crop and training diverges.
+            v_cam = pitchyaw_to_vector(jnp.asarray(gaze, jnp.float32))
+            labels.append(np.asarray(vector_to_pitchyaw(r_norm @ v_cam)))
         gaze_trainer.train_step({
             "crop": np.stack(crops),
             "pitchyaw": np.asarray(labels, np.float32),
