@@ -11,7 +11,7 @@ the trainer, bench and dry-run paths agree.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import numpy as np
@@ -21,6 +21,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
     devices = jax.devices()[: n_devices or len(jax.devices())]
     return Mesh(np.asarray(devices), (axis,))
+
+
+def make_mesh_2d(shape: Tuple[int, int], axes: Tuple[str, str] = ("dp", "way")) -> Mesh:
+    """2D mesh for composed shardings (e.g. streams x support classes —
+    docs/SCALING.md "Composition"). shape = devices per axis."""
+    n = shape[0] * shape[1]
+    devices = np.asarray(jax.devices()[:n]).reshape(shape)
+    return Mesh(devices, axes)
 
 
 def batch_sharding(mesh: Mesh, axis: str = "dp") -> NamedSharding:

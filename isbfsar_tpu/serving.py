@@ -42,18 +42,38 @@ class MultiStreamPipeline:
         pipe: Optional[FusedPipeline] = None,
         with_focus: bool = True,
         input_format: str = "bgr",
+        way_axis: Optional[str] = None,
     ):
+        """way_axis: name of a second mesh axis to ALSO shard the support
+        set's class dimension over (docs/SCALING.md "Composition") — e.g.
+        ``mesh=make_mesh_2d((4, 2))`` with ``way_axis="way"`` serves 4-way
+        stream parallelism with each stream's match split over 2 more
+        devices (one (way,)-logit all-gather per frame). None = 1D mesh,
+        support set replicated."""
         self.pipe = pipe or FusedPipeline(
             config, with_focus=with_focus, input_format=input_format
         )
         self.n_streams = n_streams
         self.mesh = mesh if mesh is not None else make_mesh()
-        assert n_streams % self.mesh.devices.size == 0, (
-            f"n_streams ({n_streams}) must be a multiple of the mesh size "
-            f"({self.mesh.devices.size}) for even sharding"
+        n_stream_devices = dict(
+            zip(self.mesh.axis_names, self.mesh.devices.shape)
+        )["dp"]
+        assert n_streams % n_stream_devices == 0, (
+            f"n_streams ({n_streams}) must be a multiple of the mesh's dp "
+            f"extent ({n_stream_devices}) for even sharding"
         )
         self._stream_sharding = NamedSharding(self.mesh, P("dp"))
         self._replicated = NamedSharding(self.mesh, P())
+        if way_axis is not None:
+            n_way = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))[way_axis]
+            way = self.pipe.config.ar.way
+            assert way % n_way == 0, (
+                f"way ({way}) must be a multiple of the mesh's {way_axis} "
+                f"extent ({n_way}); pad ARConfig.way — masked slots are free"
+            )
+            self._support_sharding = NamedSharding(self.mesh, P(way_axis))
+        else:
+            self._support_sharding = self._replicated
 
         def step(params, frames, support_kv, states, support_mask):
             return jax.vmap(
@@ -68,8 +88,9 @@ class MultiStreamPipeline:
         self.pipe.start()
         put = lambda tree: jax.device_put(tree, self._replicated)
         self._device_params = put(self.pipe._device_params)
-        self._support_kv = put(self.pipe._support_kv)
-        self._support_mask = put(self.pipe._support_mask)
+        # (way, ...) leaves: class slices per way-device when composed
+        self._support_kv = jax.device_put(self.pipe._support_kv, self._support_sharding)
+        self._support_mask = jax.device_put(self.pipe._support_mask, self._support_sharding)
         single = self.pipe.init_state()
         self._states = jax.device_put(
             StreamState(

@@ -89,3 +89,61 @@ class TestMultiStream:
         outs = multi.step(np.stack([src.read()[1]] * 8))
         elements = multi.decode(outs[0])
         assert "actions" in elements
+
+
+class TestComposedMesh:
+    def test_streams_x_way_composition(self):
+        """2D mesh (4 stream-devices x 2 way-devices): streams sharded on
+        'dp' AND each stream's support match split over 'way' must equal
+        the 1D replicated-support serving path (docs/SCALING.md
+        "Composition", certified)."""
+        import dataclasses
+
+        from isbfsar_tpu.parallel.mesh import make_mesh_2d
+
+        hpe_cfg = HPEConfig(yolo_input_size=128, crop_size=256, yolo_thresh=0.0)
+        intr = CameraIntrinsics(width=FRAME_SHAPE[1], height=FRAME_SHAPE[0])
+        hpe = HumanPoseEstimator(
+            hpe_cfg, intr, backbone_stages=V2_TINY, frame_shape=FRAME_SHAPE,
+            yolo_width=0.25,
+        )
+        ar_cfg = dataclasses.replace(ARConfig.for_input("skeleton"), way=16)
+        ar = ActionRecognizer(ar_cfg)
+        rng = np.random.default_rng(0)
+        for i in range(5):
+            ar.train({
+                "flag": f"a{i}",
+                "data": {"poses": rng.normal(size=(ar_cfg.seq_len, 90)).astype(np.float32)},
+                "requires_focus": False,
+            })
+        cfg = PipelineConfig(main=MainConfig.for_input("skeleton"), hpe=hpe_cfg, ar=ar_cfg)
+        pipe = FusedPipeline(cfg, hpe=hpe, ar=ar, with_focus=False)
+
+        src = SyntheticSource(FRAME_SHAPE[1], FRAME_SHAPE[0])
+        frames = np.stack([src.read()[1] for _ in range(4)])
+
+        # flat reference: 8 streams on the 1D mesh, streams 0-3 fed the
+        # same frames as the composed run's 4 streams
+        flat = MultiStreamPipeline(n_streams=8, mesh=make_mesh(8), pipe=pipe)
+        flat.start()
+        flat_frames = np.concatenate([frames, frames])  # (8, ...)
+        composed = MultiStreamPipeline(
+            n_streams=4, mesh=make_mesh_2d((4, 2)), pipe=pipe, way_axis="way"
+        )
+        composed.start()
+        # the support K/V cache really is class-sharded over the way axis
+        assert composed._support_kv[0].sharding.shard_shape(
+            composed._support_kv[0].shape
+        )[0] == 8  # 16 classes / 2 way-devices
+
+        outs_flat = outs_comp = None
+        for _ in range(3):
+            outs_flat = flat.step(flat_frames)
+            outs_comp = composed.step(frames)
+        for i in range(4):
+            np.testing.assert_allclose(
+                outs_comp[i]["pose"], outs_flat[i]["pose"], rtol=1e-4, atol=1e-5
+            )
+            np.testing.assert_allclose(
+                outs_comp[i]["probs"], outs_flat[i]["probs"], rtol=1e-3, atol=1e-5
+            )
