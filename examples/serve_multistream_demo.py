@@ -5,7 +5,7 @@ Runs on any device count — use a virtual mesh to try the sharding without
 hardware:
 
     python examples/serve_multistream_demo.py \
-        --streams 4 --way-devices 2 --virtual-devices 8
+        --way-devices 2 --virtual-devices 8
 
 On a real v5e-8 slice drop --virtual-devices: 8 streams ride the 8 chips
 at the single-chip frame rate (docs/SCALING.md). The virtual-CPU run uses
@@ -29,7 +29,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__.split("\n")[0])
-    parser.add_argument("--streams", type=int, default=4)
+    parser.add_argument("--streams", type=int, default=0,
+                        help="0 = one stream per dp-device (always valid)")
     parser.add_argument("--way-devices", type=int, default=1,
                         help=">1 also shards the support classes over a "
                         "second mesh axis (way must divide evenly)")
@@ -74,20 +75,21 @@ def main() -> None:
 
     if args.way_devices > 1:
         mesh = make_mesh_2d((n_dev // args.way_devices, args.way_devices))
+        n_streams = args.streams or (n_dev // args.way_devices)
         multi = MultiStreamPipeline(
-            n_streams=args.streams, mesh=mesh, pipe=pipe, way_axis="way"
+            n_streams=n_streams, mesh=mesh, pipe=pipe, way_axis="way"
         )
         print(f"mesh {dict(zip(mesh.axis_names, mesh.devices.shape))}: "
-              f"streams on dp, {args.way} classes sharded over "
+              f"{n_streams} streams on dp, {args.way} classes sharded over "
               f"{args.way_devices} way-devices")
     else:
-        multi = MultiStreamPipeline(
-            n_streams=args.streams, mesh=make_mesh(), pipe=pipe
-        )
-        print(f"1D mesh ({n_dev} devices): streams sharded, support replicated")
+        n_streams = args.streams or n_dev
+        multi = MultiStreamPipeline(n_streams=n_streams, mesh=make_mesh(), pipe=pipe)
+        print(f"1D mesh ({n_dev} devices): {n_streams} streams sharded, "
+              f"support replicated")
 
     multi.start()
-    sources = [SyntheticSource(640, 480) for _ in range(args.streams)]
+    sources = [SyntheticSource(640, 480) for _ in range(n_streams)]
 
     t0 = time.time()
     outs = None
@@ -95,8 +97,8 @@ def main() -> None:
         frames = np.stack([s.read()[1] for s in sources])
         outs = multi.step(frames)
     dt = time.time() - t0
-    print(f"{args.frames} steps x {args.streams} streams in {dt:.1f}s "
-          f"-> {args.frames * args.streams / dt:.1f} stream-frames/s")
+    print(f"{args.frames} steps x {n_streams} streams in {dt:.1f}s "
+          f"-> {args.frames * n_streams / dt:.1f} stream-frames/s")
     for i, out in enumerate(outs):
         elements = multi.decode(out)
         print(f"stream {i}: actions={ {k: round(v, 3) for k, v in elements.get('actions', {}).items()} }")

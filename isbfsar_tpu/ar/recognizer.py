@@ -66,6 +66,9 @@ class ActionRecognizer:
         self.class_order: List[Optional[str]] = [None] * self.way
         self.requires_focus: Dict[str, bool] = {}
         self.previous_frames: List[Dict[str, np.ndarray]] = []
+        # bumped on every support-set mutation; consumers holding derived
+        # caches (e.g. parallel.WayShardedMatcher) compare against it
+        self.support_version: int = 0
 
         self._infer_cached = jax.jit(self._infer_cached_impl)
         self._infer_and_embed = jax.jit(self._infer_and_embed_impl)
@@ -165,6 +168,7 @@ class ActionRecognizer:
         self.class_order[slot] = name
         self.requires_focus[name] = bool(inp.get("requires_focus", False))
         self.support_features = None  # recompute + recache on next inference
+        self.support_version += 1
 
     def remove(self, flag: str) -> bool:
         if flag not in self.class_order:
@@ -176,6 +180,7 @@ class ActionRecognizer:
             self.support_data[m][slot] = 0.0
         self.requires_focus.pop(flag, None)
         self.support_features = None
+        self.support_version += 1
         return True
 
     @property
@@ -211,4 +216,5 @@ class ActionRecognizer:
         self.class_order = meta["class_order"]
         self.requires_focus = meta["requires_focus"]
         self.support_features = None
+        self.support_version += 1
         return self.n_classes

@@ -96,7 +96,8 @@ def way_sharding_parity_check(n_devices: int, atol: float = 1e-5) -> Dict[str, f
     cfg = dataclasses.replace(ARConfig.for_input("skeleton"), way=2 * n_devices)
     ar = ActionRecognizer(cfg)
     rng = np.random.default_rng(0)
-    for i in range(cfg.way - 3):  # a few masked slots stay empty
+    # at least one live class even on a 1-device mesh (way=2 -> train 1)
+    for i in range(max(1, cfg.way - 3)):  # some masked slots stay empty
         ar.train({
             "flag": f"class_{i}",
             "data": {"poses": rng.normal(size=(cfg.seq_len, 90)).astype(np.float32)},

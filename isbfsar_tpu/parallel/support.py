@@ -51,6 +51,7 @@ class WayShardedMatcher:
         self._way_sharded = NamedSharding(self.mesh, P("dp"))
         self._replicated = NamedSharding(self.mesh, P())
         self._features: Optional[jax.Array] = None  # sharded (way, L, D)
+        self._features_version: int = -1  # ar.support_version at last refresh
 
         self._match = jax.jit(
             ar._infer_cached_impl,
@@ -82,6 +83,7 @@ class WayShardedMatcher:
             for m, v in self.ar.support_data.items()
         }
         self._features = self._embed(self.ar.params, support)  # (way, L, D)
+        self._features_version = self.ar.support_version
 
     # ------------------------------------------------------------ inference
 
@@ -93,8 +95,8 @@ class WayShardedMatcher:
         (use ``ar.inference`` for the frame-by-frame API)."""
         if not self.ar.support_mask.any():
             return {}, 0.0
-        if self._features is None:
-            self.refresh()
+        if self._features is None or self._features_version != self.ar.support_version:
+            self.refresh()  # support set edited since the last embed
         query = {m: jnp.asarray(np.asarray(v)[None]) for m, v in window.items()}
         mask = jax.device_put(np.asarray(self.ar.support_mask), self._way_sharded)
         probs, is_true = jax.device_get(

@@ -108,13 +108,15 @@ class FusedPipeline:
 
         # Pallas fused input stage — measured SLOWER end-to-end than the
         # composed XLA path on v5e (108.3 vs 111.3 FPS median, p50 48.6 vs
-        # 44.8 ms; docs/PERF.md "Pallas input stage"), so the default is
-        # OFF; the kernel stays available behind the flag as the decision
-        # record (parity-tested in tests/test_pallas_input.py).
-        pi = self.config.pallas_input
-        if pi is None:
-            pi = False
-        self._pallas_input = bool(pi) and input_format == "i420"
+        # 44.8 ms; docs/PERF.md "Pallas input stage"), so the default
+        # (None/False) is OFF; the kernel stays available behind the flag
+        # as the decision record (parity-tested in tests/test_pallas_input.py).
+        self._pallas_input = bool(self.config.pallas_input)
+        if self._pallas_input and input_format != "i420":
+            raise ValueError(
+                "pallas_input=True requires input_format='i420' (the kernel "
+                "fuses the I420 decode; there is nothing to fuse for bgr)"
+            )
         # Off-TPU (CPU test meshes) the kernel runs in interpreter mode.
         self._pallas_interpret = jax.default_backend() != "tpu"
 
@@ -181,7 +183,9 @@ class FusedPipeline:
                 return fused_i420_inputs(
                     frame,
                     self.hpe.frame_shape[0],
-                    self.config.hpe.yolo_input_size,
+                    # the estimator's config is the single source of truth
+                    # (a custom-injected hpe may differ from config.hpe)
+                    self.hpe.config.yolo_input_size,
                     interpret=self._pallas_interpret,
                 )
             from isbfsar_tpu.ops.image import i420_to_bgr

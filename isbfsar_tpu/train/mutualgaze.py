@@ -87,9 +87,9 @@ class MutualGazeTrainer:
             hd = self.head.init(k2, jnp.zeros((1, feat_dim)))
             return {"backbone": bb, "head": hd}
 
-        self.params = init(jax.random.key(seed))
+        self._init = init
         self.optimizer = optax.adam(config.lr)
-        self.opt_state = self.optimizer.init(self.params)
+        self.reset(seed)
 
         def loss_fn(params, images, labels):
             feats = self.backbone.apply(params["backbone"], images)
@@ -108,6 +108,12 @@ class MutualGazeTrainer:
         self._step = jax.jit(step, donate_argnums=(0, 1))
         self._predict = jax.jit(lambda p, x: self.head.apply(
             p["head"], self.backbone.apply(p["backbone"], x))[:, 0])
+
+    def reset(self, seed: int = 0) -> None:
+        """Fresh params + optimizer state (a new model, reference train.py
+        builds one per session)."""
+        self.params = self._init(jax.random.key(seed))
+        self.opt_state = self.optimizer.init(self.params)
 
     def train_epoch(self, dataset, batch_size: int = 8, augment: bool = True,
                     seed: int = 0) -> float:
@@ -146,6 +152,10 @@ class MutualGazeTrainer:
         sessions = sorted(os.listdir(root))
         results = []
         for fold, (train_s, test_s) in enumerate(session_splits(sessions)):
+            # Fresh model per fold (reference train.py:70-76 constructs a new
+            # Model each session) — carrying weights across folds would let
+            # fold k test on sessions folds <k already trained on.
+            self.reset(seed=fold)
             train_data = WatchingDataset(root, train_s, self.config.crop_size)
             test_data = WatchingDataset(root, test_s, self.config.crop_size)
             best_f1 = -1.0

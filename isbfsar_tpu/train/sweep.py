@@ -96,10 +96,17 @@ def run_sweep(
             )
             fold_ckpt = (os.path.join(ckpt_dir, entry.group.replace(" ", "_"))
                          if ckpt_dir else None)
-            results = trainer.cross_validate(
-                data_root, n_epochs=n_epochs, batch_size=batch_size,
-                ckpt_dir=fold_ckpt, augment=entry.augment,
-            )
+            try:
+                results = trainer.cross_validate(
+                    data_root, n_epochs=n_epochs, batch_size=batch_size,
+                    ckpt_dir=fold_ckpt, augment=entry.augment,
+                )
+            finally:
+                trainer.logger.close()
+            if not results:  # dataset dir present but holds no sessions
+                logger.log({"group": entry.group, "skipped": 1,
+                            "reason": f"no sessions under {entry.dataset}"})
+                continue
             # OVERALL mean +- variance over sessions (reference :241-246
             # prints mean and np.var, not std — preserved).
             stats: Dict[str, float] = {}

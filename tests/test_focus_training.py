@@ -181,3 +181,21 @@ class TestMutualGazeSweep:
         summary = run_sweep(root, grid=grid, n_epochs=1, batch_size=4,
                             log_dir=str(tmp_path / "log"))
         assert set(summary) == {"FIRST"}  # reference's groups[:1] quirk
+
+
+class TestCrossValidationIsolation:
+    def test_fresh_model_per_fold(self, tmp_path):
+        """Each leave-one-session-out fold must start from fresh weights
+        (reference train.py builds a new Model per session) — carrying
+        weights across folds lets fold k test on sessions earlier folds
+        trained on, inflating every downstream sweep statistic."""
+        root = str(tmp_path / "data")
+        _make_watching_dataset(root, n_per=2)
+        cfg = dataclasses.replace(MutualGazeConfig(), crop_size=32, lr=1e-3)
+        trainer = MutualGazeTrainer(cfg, log_dir=str(tmp_path / "log"))
+
+        resets = []
+        orig = trainer.reset
+        trainer.reset = lambda seed=0: (resets.append(seed), orig(seed))[1]
+        trainer.cross_validate(root, n_epochs=1, batch_size=4)
+        assert resets == [0, 1]  # one fresh init per fold

@@ -56,3 +56,42 @@ def test_way_sharded_match_parity():
     # the features really are distributed: each device holds way/8 classes
     shards = matcher._features.sharding.shard_shape(matcher._features.shape)
     assert shards[0] == 2  # 16 classes / 8 devices
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_way_sharded_match_tracks_support_edits():
+    """Support-set edits AFTER a match must invalidate the sharded feature
+    cache (the recognizer's support_version signal) — a stale cache would
+    score a freshly added class against zero features."""
+    import dataclasses
+
+    import numpy as np
+
+    from isbfsar_tpu.ar.recognizer import ActionRecognizer
+    from isbfsar_tpu.configs import ARConfig
+    from isbfsar_tpu.parallel.mesh import make_mesh
+    from isbfsar_tpu.parallel.support import WayShardedMatcher
+
+    cfg = dataclasses.replace(ARConfig.for_input("skeleton"), way=16)
+    ar = ActionRecognizer(cfg)
+    rng = np.random.default_rng(1)
+    clip = lambda: rng.normal(size=(cfg.seq_len, 90)).astype(np.float32)
+    ar.train({"flag": "a0", "data": {"poses": clip()}, "requires_focus": False})
+
+    matcher = WayShardedMatcher(ar, make_mesh(8))
+    window = {"sk": np.stack([rng.normal(size=90).astype(np.float32)
+                              for _ in range(cfg.seq_len)])}
+    probs1, _ = matcher.match_window(window)
+    assert set(probs1) == {"a0"}
+
+    target_clip = np.stack(list(window["sk"]))
+    ar.train({"flag": "exact_match", "data": {"poses": target_clip},
+              "requires_focus": False})
+    probs2, _ = matcher.match_window(window)
+    assert set(probs2) == {"a0", "exact_match"}
+    # the new class's support IS the query clip -> it must dominate
+    assert probs2["exact_match"] > probs2["a0"]
+
+    ar.remove("a0")
+    probs3, _ = matcher.match_window(window)
+    assert set(probs3) == {"exact_match"}
