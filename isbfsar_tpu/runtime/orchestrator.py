@@ -101,7 +101,14 @@ class Orchestrator:
         elements["img"] = img
 
         if self.fused is not None:
-            elements.update(self.fused.decode(self.fused.step(img)))
+            frame = img
+            if self.fused.input_format == "i420":
+                # halve the H2D bytes: host-side planar encode (~1 ms cv2)
+                # for the transfer-bound remote-attached chip (docs/PERF.md)
+                from isbfsar_tpu.ops.image import bgr_to_i420
+
+                frame = bgr_to_i420(img)
+            elements.update(self.fused.decode(self.fused.step(frame)))
             return self._finish_frame(elements, start, log)
 
         # fan-out: dispatch both device programs, then join (main.py:73-77).

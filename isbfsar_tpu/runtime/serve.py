@@ -35,6 +35,10 @@ def main() -> None:
     parser.add_argument("--fused", action="store_true",
                         help="skeleton mode: run the single-program fused "
                              "pipeline on the frame path (fastest)")
+    parser.add_argument("--transport", choices=["i420", "bgr"], default="i420",
+                        help="fused-path host->device frame format: i420 "
+                             "halves the transfer bytes (planar YUV encoded "
+                             "host-side, decoded in-graph; docs/PERF.md)")
     args = parser.parse_args()
 
     enable_compile_cache()
@@ -53,7 +57,7 @@ def main() -> None:
         from isbfsar_tpu.pipeline import FusedPipeline
 
         assert args.input_type == "skeleton", "--fused requires skeleton mode"
-        fused = FusedPipeline(config, with_focus=True)
+        fused = FusedPipeline(config, with_focus=True, input_format=args.transport)
     orch = Orchestrator(config, in_queue=in_q, out_queue=out_q,
                         save_dir=args.save_dir, fused=fused)
     print("[isbfsar-tpu] warming up device programs...")

@@ -284,6 +284,32 @@ class TestFusedOrchestrator:
         assert elements["actions"] == {}
         orchestrator.ar.remove("spin")
 
+    def test_fused_i420_transport(self, orchestrator):
+        """serve --transport i420: the orchestrator encodes BGR frames to
+        planar YUV host-side and the fused graph decodes them — same
+        elements contract, half the H2D bytes."""
+        from isbfsar_tpu.pipeline import FusedPipeline
+
+        fused = FusedPipeline(
+            orchestrator.config, hpe=orchestrator.hpe, ar=orchestrator.ar,
+            with_focus=False, input_format="i420",
+        )
+        orch = Orchestrator(
+            orchestrator.config,
+            in_queue=AutoFrameQueue(),
+            out_queue=Collector(),
+            fused=fused,
+            clock=FakeClock(),
+        )
+        log = orch.learn_command(["wave"])
+        assert "learned successfully" in log
+        src = SyntheticSource(FRAME_SHAPE[1], FRAME_SHAPE[0])
+        for _ in range(orch.config.ar.seq_len + 1):
+            elements = orch.get_frame(img=src.read()[1])
+        assert "wave" in elements["actions"]
+        assert elements["pose"].shape == (30, 3)
+        orchestrator.ar.remove("wave")
+
 
 class TestRgbHybridOrchestrator:
     @pytest.mark.parametrize("input_type", ["rgb", "hybrid"])
