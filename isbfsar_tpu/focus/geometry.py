@@ -73,15 +73,23 @@ def rotmat_to_rotvec(r: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(near_pi, rotvec_pi, rotvec_generic)
 
 
+def _svd_rotation(h: jnp.ndarray):
+    """Shared Procrustes core: optimal proper rotation from the 3x3 cross-
+    covariance ``h`` (reflection corrected via the det sign). Returns
+    (rot, svals, d) — kabsch/umeyama both build on this so the sign
+    convention lives in exactly one place."""
+    u, svals, vt = jnp.linalg.svd(h)
+    d = jnp.sign(jnp.linalg.det(mm(u, vt).T))
+    flip = jnp.diag(jnp.stack([1.0, 1.0, d]))
+    return mm(mm(u, flip), vt).T, svals, d
+
+
 def kabsch(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
     """Optimal rotation aligning src -> dst (both (n, 3), centered inside)."""
     src_c = src - src.mean(axis=0, keepdims=True)
     dst_c = dst - dst.mean(axis=0, keepdims=True)
-    h = mm(src_c.T, dst_c)
-    u, _, vt = jnp.linalg.svd(h)
-    d = jnp.sign(jnp.linalg.det(mm(u, vt).T))
-    flip = jnp.diag(jnp.asarray([1.0, 1.0, 1.0]) * jnp.stack([1.0, 1.0, d]))
-    return mm(mm(u, flip), vt).T
+    rot, _, _ = _svd_rotation(mm(src_c.T, dst_c))
+    return rot
 
 
 def umeyama(src: jnp.ndarray, dst: jnp.ndarray):
@@ -89,11 +97,7 @@ def umeyama(src: jnp.ndarray, dst: jnp.ndarray):
     mu_s = src.mean(axis=0)
     mu_d = dst.mean(axis=0)
     sc, dc = src - mu_s, dst - mu_d
-    h = mm(sc.T, dc)
-    u, svals, vt = jnp.linalg.svd(h)
-    d = jnp.sign(jnp.linalg.det(mm(u, vt).T))
-    flip = jnp.diag(jnp.asarray([1.0, 1.0, 1.0]) * jnp.stack([1.0, 1.0, d]))
-    rot = mm(mm(u, flip), vt).T
+    rot, svals, d = _svd_rotation(mm(sc.T, dc))
     scale = (svals[0] + svals[1] + svals[2] * d) / jnp.maximum((sc**2).sum(), 1e-12)
     t = mu_d - scale * mm(rot, mu_s[:, None])[:, 0]
     return rot, scale, t
@@ -126,6 +130,8 @@ def head_pose_from_landmarks(
     (modules/focus/gaze_estimation/focus.py:9-24); tests/test_focus.py pins
     this rebuild against exact synthetic projections.
     """
+    if iters < 1:
+        raise ValueError("head_pose_from_landmarks needs iters >= 1")
     rays = mm(to_homogeneous(landmarks_px), inv_intrinsics(intrinsics).T)  # (6, 3)
     canonical = jnp.asarray(CANONICAL_FACE_3D)
     depth = jnp.full((canonical.shape[0], 1), assumed_depth)

@@ -22,13 +22,32 @@ _LIB = os.path.join(_HERE, "libshmq.so")
 _lib: Optional[ctypes.CDLL] = None
 
 
+def _src_digest() -> str:
+    import hashlib
+
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
 def build_library(force: bool = False) -> str:
-    if force or not os.path.exists(_LIB):
+    """Compile (or reuse) libshmq.so. Staleness is decided by a SOURCE
+    CONTENT HASH stored in a sidecar — mtimes are meaningless after a git
+    checkout (both files get checkout time) and a leftover binary from an
+    older shm_queue.cpp would otherwise load cleanly and run old code."""
+    digest = _src_digest()
+    sidecar = _LIB + ".srchash"
+    stale = True
+    if not force and os.path.exists(_LIB) and os.path.exists(sidecar):
+        with open(sidecar) as f:
+            stale = f.read().strip() != digest
+    if force or stale:
         subprocess.run(
             ["g++", "-O2", "-shared", "-fPIC", _SRC, "-o", _LIB, "-lpthread", "-lrt"],
             check=True,
             capture_output=True,
         )
+        with open(sidecar, "w") as f:
+            f.write(digest)
     return _LIB
 
 

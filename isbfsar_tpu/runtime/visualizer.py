@@ -212,11 +212,15 @@ class GUIVisualizer:
     # ------------------------------------------------------------ rendering
 
     def show(self, elements: Dict[str, Any]) -> None:
-        if not self.show_enabled:
-            return
-        self._draw(elements)
+        if self.show_enabled:
+            self._draw(elements)
+            if self._interactive:
+                self.fig.canvas.draw_idle()
         if self._interactive:
-            self.fig.canvas.draw_idle()
+            # ALWAYS pump the GUI event loop — this is the only pump in the
+            # run_source loop, so skipping it while rendering is toggled
+            # off ('\\') would freeze the window and eat every later
+            # keystroke, including the one to re-enable.
             self._plt.pause(0.001)
 
     def render(self, elements: Dict[str, Any]) -> np.ndarray:

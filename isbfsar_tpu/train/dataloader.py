@@ -39,6 +39,17 @@ def list_classes(root: str) -> List[str]:
     return sorted(d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d)))
 
 
+def _clip_subdirs(base: str) -> List[str]:
+    """Clip directories under a class dir — directories only (extraction
+    leaves .skip_<idx> marker FILES for resume accounting,
+    tools/extract_dataset.py)."""
+    return sorted(
+        os.path.join(base, d)
+        for d in os.listdir(base)
+        if os.path.isdir(os.path.join(base, d))
+    )
+
+
 def _load_frame_pose(path: str, i: int) -> np.ndarray:
     return np.load(os.path.join(path, f"{i}.npy"))
 
@@ -87,7 +98,7 @@ class EpisodicSampler:
         self.queries: Optional[List[str]] = None
         if query_class:
             base = os.path.join(queries_path, query_class)
-            self.queries = [os.path.join(base, d) for d in sorted(os.listdir(base))]
+            self.queries = _clip_subdirs(base)
             self.n_task = len(self.queries)
         self.default_sample = None
 
@@ -99,8 +110,7 @@ class EpisodicSampler:
 
     def _clip_dirs(self, class_name: str, use_exemplars: bool) -> List[str]:
         root = self.exemplars_path if use_exemplars else self.queries_path
-        base = os.path.join(root, class_name)
-        return [os.path.join(base, d) for d in sorted(os.listdir(base))]
+        return _clip_subdirs(os.path.join(root, class_name))
 
     def load_clip(self, path: str) -> Dict[str, np.ndarray]:
         poses, imgs = [], []
@@ -206,9 +216,9 @@ class FSOSEpisodicSampler:
             base = os.path.join(queries_path, q)
             if not os.path.isdir(base):
                 continue
-            self.queries.extend(os.path.join(base, d) for d in sorted(os.listdir(base)))
+            self.queries.extend(_clip_subdirs(base))
         self.support_set = [
-            self.loader.load_clip(os.path.join(exemplars_path, c, sorted(os.listdir(os.path.join(exemplars_path, c)))[0]))
+            self.loader.load_clip(_clip_subdirs(os.path.join(exemplars_path, c))[0])
             for c in self.support_classes
         ]
 

@@ -56,11 +56,14 @@ def evaluate_fsos(
     # Repeats must draw DIFFERENT support classes (compute_fsos.py:77-79
     # samples from the full held-out class list every repetition) — default
     # to the actual class count on disk, never to k, which would degenerate
-    # every repeat to the same support set.
+    # every repeat to the same support set. The ids index the EXEMPLARS
+    # tree (FSOSEpisodicSampler.support_class_ids -> exemplar classes), so
+    # the count must come from that tree — a query tree with extra classes
+    # would otherwise yield out-of-range ids.
     if n_test_classes is None:
         from isbfsar_tpu.train.dataloader import list_classes
 
-        n_test_classes = len(list_classes(queries_path))
+        n_test_classes = len(list_classes(exemplars_path))
 
     results = {"FSOS-ACC": [], "FS-ACC": [], "OS-ACC": []}
     for rep in range(n_repeats):

@@ -110,6 +110,19 @@ def make_loss_fn(model: TRXOS, cfg: ARConfig):
     return loss_fn
 
 
+def milestone_boundaries(config, inner_per_epoch: int) -> Dict[int, float]:
+    """MultiStepLR boundaries in inner-update units. torch applies gamma
+    once PER listed milestone, so first == second (the ARConfig defaults)
+    means a 100x drop at that epoch — a dict literal would silently
+    collapse the duplicate key into a single 10x step
+    (reference train.py:72-75)."""
+    boundaries: Dict[int, float] = {}
+    for milestone in (config.first_milestone, config.second_milestone):
+        step = milestone * inner_per_epoch
+        boundaries[step] = boundaries.get(step, 1.0) * 0.1
+    return boundaries
+
+
 class Trainer:
     def __init__(
         self,
@@ -140,11 +153,7 @@ class Trainer:
         # expressed in inner-update units, not micro-steps.
         inner_per_epoch = max(1, steps_per_epoch // max(1, config.optimize_every))
         schedule = optax.piecewise_constant_schedule(
-            config.initial_lr,
-            {
-                config.first_milestone * inner_per_epoch: 0.1,
-                config.second_milestone * inner_per_epoch: 0.1,
-            },
+            config.initial_lr, milestone_boundaries(config, inner_per_epoch)
         )
         self.optimizer = optax.MultiSteps(
             optax.sgd(schedule), every_k_schedule=max(1, config.optimize_every)

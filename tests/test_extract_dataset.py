@@ -117,6 +117,52 @@ class TestExtraction:
         video = os.path.join(video_root, "wave", "clip0.mp4")
         assert extract_clip(Blind(), video, N_FRAMES, with_images=False) is None
 
+    def test_resume_after_skipped_clip(self, estimator, tmp_path):
+        """A skipped clip leaves a .skip marker so resume-by-count does not
+        undercount and re-extract the tail on every rerun; markers are
+        invisible to the episodic loader (directories only)."""
+        from isbfsar_tpu.train.dataloader import _clip_subdirs
+
+        root = tmp_path / "vids"
+        os.makedirs(root / "act")
+        for clip in range(3):
+            _write_video(str(root / "act" / f"clip{clip}.mp4"), seed=clip)
+
+        calls = []
+
+        class SkipMiddle:
+            def estimate(self, frame):
+                # clip1's frames all fail; others delegate to the real one
+                if calls[-1] == 1:
+                    return None
+                return estimator.estimate(frame)
+
+        # wrap extract_clip: track which video index is running
+        import tools.extract_dataset as xd
+
+        orig = xd.extract_clip
+
+        def tracking_extract(est, video_path, n_frames, with_images):
+            calls.append(int(os.path.basename(video_path)[4]))
+            return orig(est, video_path, n_frames, with_images)
+
+        out = str(tmp_path / "tree")
+        try:
+            xd.extract_clip = tracking_extract
+            written = xd.extract_tree(SkipMiddle(), str(root), out, n_frames=N_FRAMES)
+            assert [os.path.basename(d) for d in written] == ["0", "2"]
+            # marker present for the skipped idx, dirs for the extracted ones
+            entries = sorted(os.listdir(os.path.join(out, "act")))
+            assert entries == ["0", "2", ".skip_1"] or set(entries) == {"0", "2", ".skip_1"}
+            # a rerun extracts NOTHING (was: clip2 re-extracted forever)
+            calls.clear()
+            assert xd.extract_tree(SkipMiddle(), str(root), out, n_frames=N_FRAMES) == []
+            assert calls == []
+        finally:
+            xd.extract_clip = orig
+        # the loader sees only the clip directories
+        assert [os.path.basename(p) for p in _clip_subdirs(os.path.join(out, "act"))] == ["0", "2"]
+
     def test_train_epoch_from_extracted_tree(self, estimator, video_root, tmp_path):
         """The emitted tree must feed the episodic trainer directly."""
         from isbfsar_tpu.parallel.mesh import make_mesh

@@ -88,6 +88,11 @@ def extract_tree(estimator, videos_root: str, out_root: str, n_frames: int = 16,
             continue
         out_class = os.path.join(out_root, class_name)
         os.makedirs(out_class, exist_ok=True)
+        # Resume-by-count (reference extract_skeleton_rgb_from_nturgbd.py:
+        # 57-117 counts existing outputs): every processed video leaves
+        # exactly one entry — a clip dir, or a .skip_<idx> marker for
+        # no-usable-pose videos. Without the marker a skipped clip would
+        # undercount `done` and the tail would re-extract on every resume.
         done = len(os.listdir(out_class))
         videos = sorted(os.listdir(class_dir))
         for idx, vid in enumerate(videos):
@@ -98,6 +103,7 @@ def extract_tree(estimator, videos_root: str, out_root: str, n_frames: int = 16,
             )
             if result is None:
                 print(f"[extract] SKIP {class_name}/{vid} (no usable pose)")
+                open(os.path.join(out_class, f".skip_{idx}"), "w").close()
                 continue
             poses, crops = result
             clip_dir = os.path.join(out_class, str(idx))
