@@ -59,6 +59,38 @@ class GazeNet(nn.Module):
         return nn.Dense(2, name="gaze_fc")(feats)
 
 
+class LandmarkRefiner(nn.Module):
+    """Second-stage landmark regressor on the full-res face CROP.
+
+    The single-stage detector sees the whole frame at 128px, where a
+    far-branch face is ~16 px and head-yaw-induced landmark asymmetry is
+    sub-pixel — unobservable. The reference's stack gets its landmarks
+    from ptgaze's mediapipe dependency (reference modules/focus/
+    gaze_estimation/focus.py:106-112 via GazeEstimator.detect_faces),
+    which is itself two-stage: coarse detection, then a mesh/landmark
+    model on the high-resolution face region. Input (n, 64, 64, 3)
+    RGB/255 crop -> (n, 6, 2) landmarks in crop-normalized [0, 1]
+    coordinates.
+    """
+
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x.astype(self.dtype)
+        for i, f in enumerate((24, 48, 96, 192)):  # 64 -> 4
+            x = nn.Conv(f, (3, 3), (2, 2), padding="SAME", use_bias=False,
+                        dtype=self.dtype, name=f"conv{i}")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             dtype=self.dtype, name=f"bn{i}")(x)
+            x = nn.relu(x)
+        x = x.reshape(x.shape[0], -1).astype(jnp.float32)
+        x = nn.relu(nn.Dense(128, name="fc1")(x))
+        out = nn.Dense(12, name="fc2")(x)
+        # sigmoid keeps predictions inside the crop; init bias 0 -> 0.5
+        return jax.nn.sigmoid(out).reshape(x.shape[0], 6, 2)
+
+
 class HopeNet(nn.Module):
     """Head-pose network: crop -> (yaw, pitch, roll) degrees via 66-bin heads."""
 
@@ -91,7 +123,12 @@ class _BlazeBlock(nn.Module):
             feature_group_count=x.shape[-1], use_bias=False, dtype=self.dtype, name="dw",
         )(x)
         y = nn.Conv(self.filters, (1, 1), use_bias=False, dtype=self.dtype, name="pw")(y)
-        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn")(y)
+        # momentum 0.9 (not flax's 0.99 default): the running stats converge
+        # in tens of steps instead of hundreds — BlazeFaceLite is trained
+        # from scratch on short synthetic-supervision budgets
+        # (train/gazefocus.py) where slow stat warmup dominates early loss.
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=self.dtype, name="bn")(y)
         if self.stride == 2:
             residual = nn.max_pool(x, (2, 2), strides=(2, 2))
         if residual.shape[-1] != self.filters:

@@ -36,7 +36,7 @@ import optax
 
 from isbfsar_tpu.configs import CameraIntrinsics, FocusConfig
 from isbfsar_tpu.focus.geometry import head_pose_from_landmarks, normalization_camera
-from isbfsar_tpu.models.gaze import BlazeFaceLite, GazeNet, pitchyaw_to_vector, vector_to_pitchyaw
+from isbfsar_tpu.models.gaze import BlazeFaceLite, GazeNet, LandmarkRefiner, pitchyaw_to_vector, vector_to_pitchyaw
 from isbfsar_tpu.ops.warp import warp_image_bilinear
 from isbfsar_tpu.train.detection import pairwise_iou
 
@@ -136,7 +136,7 @@ class SyntheticFaceSampler:
         cx = self.rng.uniform(side / 2 + 2, w - side / 2 - 2)
         cy = self.rng.uniform(side / 2 + 2, h - side / 2 - 2)
         gaze = (float(self.rng.uniform(-0.8, 0.8)), float(self.rng.uniform(-0.8, 0.8)))
-        head_yaw = float(self.rng.uniform(-0.7, 0.7))
+        head_yaw = float(self.rng.uniform(-1.0, 1.0))
         frame, gt = render_face_scene(
             area, gaze, (cx, cy), self.frame_hw, self.rng, head_yaw=head_yaw
         )
@@ -184,32 +184,110 @@ def blazeface_loss(boxes, lms, scores, gt_box, gt_lms,
 class BlazeFaceTrainer:
     def __init__(self, config: FocusConfig = FocusConfig(), seed: int = 0, lr: float = 3e-4):
         self.net = BlazeFaceLite(dtype=jnp.dtype(config.compute_dtype))
-        self.variables = jax.jit(
+        variables = jax.jit(
             lambda k: self.net.init(k, jnp.zeros((1, 128, 128, 3)))
         )(jax.random.key(seed))
+        self.params = variables["params"]
+        self.batch_stats = variables["batch_stats"]
         self.optimizer = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(lr))
-        self.opt_state = self.optimizer.init(self.variables)
+        self.opt_state = self.optimizer.init(self.params)
 
-        def loss_fn(variables, batch):
-            boxes, lms, scores = self.net.apply(variables, batch["image"])
+        # train=True + mutable batch_stats — same rule as GazeTrainer below:
+        # BatchNorm on frozen init statistics (mean 0, var 1) never
+        # normalizes activations and the detector barely learns.
+        def loss_fn(params, batch_stats, batch):
+            (boxes, lms, scores), new_state = self.net.apply(
+                {"params": params, "batch_stats": batch_stats},
+                batch["image"], train=True, mutable=["batch_stats"],
+            )
             losses, aux = jax.vmap(blazeface_loss)(
                 boxes, lms, scores, batch["bbox"], batch["landmarks"]
             )
-            return jnp.mean(losses), jax.tree.map(jnp.mean, aux)
+            return jnp.mean(losses), (jax.tree.map(jnp.mean, aux), new_state["batch_stats"])
 
-        def step(variables, opt_state, batch):
-            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(variables, batch)
-            updates, opt_state = self.optimizer.update(grads, opt_state, variables)
-            return optax.apply_updates(variables, updates), opt_state, loss, aux
+        def step(params, batch_stats, opt_state, batch):
+            (loss, (aux, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params, batch_stats, batch)
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), new_stats, opt_state, loss, aux
 
-        self._step = jax.jit(step, donate_argnums=(0, 1))
+        self._step = jax.jit(step, donate_argnums=(0, 1, 2))
+
+    @property
+    def variables(self):
+        return {"params": self.params, "batch_stats": self.batch_stats}
 
     def train_step(self, batch) -> float:
         batch = jax.tree.map(jnp.asarray, batch)
-        self.variables, self.opt_state, loss, _ = self._step(
-            self.variables, self.opt_state, batch
+        self.params, self.batch_stats, self.opt_state, loss, _ = self._step(
+            self.params, self.batch_stats, self.opt_state, batch
         )
         return float(loss)
+
+
+# ------------------------------------------------------- landmark refiner
+
+
+class LandmarkRefinerTrainer:
+    """Second-stage landmark regression on full-res face crops
+    (models/gaze.py::LandmarkRefiner): smooth-L1 on crop-normalized
+    landmark coordinates, BN trained with mutable batch_stats."""
+
+    def __init__(self, config: FocusConfig = FocusConfig(), seed: int = 0, lr: float = 1e-3):
+        self.net = LandmarkRefiner(dtype=jnp.dtype(config.compute_dtype))
+        variables = jax.jit(
+            lambda k: self.net.init(k, jnp.zeros((1, 64, 64, 3)))
+        )(jax.random.key(seed))
+        self.params = variables["params"]
+        self.batch_stats = variables["batch_stats"]
+        self.optimizer = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(lr))
+        self.opt_state = self.optimizer.init(self.params)
+
+        def loss_fn(params, batch_stats, batch):
+            pred, new_state = self.net.apply(
+                {"params": params, "batch_stats": batch_stats},
+                batch["crop"], train=True, mutable=["batch_stats"],
+            )
+            d = jnp.abs(pred - batch["landmarks"])
+            loss = jnp.mean(jnp.where(d < 0.05, 10.0 * d * d, d - 0.0025))
+            return loss, new_state["batch_stats"]
+
+        def step(params, batch_stats, opt_state, batch):
+            (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch_stats, batch
+            )
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), new_stats, opt_state, loss
+
+        self._step = jax.jit(step, donate_argnums=(0, 1, 2))
+
+    @property
+    def variables(self):
+        return {"params": self.params, "batch_stats": self.batch_stats}
+
+    def train_step(self, batch) -> float:
+        batch = jax.tree.map(jnp.asarray, batch)
+        self.params, self.batch_stats, self.opt_state, loss = self._step(
+            self.params, self.batch_stats, self.opt_state, batch
+        )
+        return float(loss)
+
+
+def make_refiner_crop(frame: np.ndarray, box_px: np.ndarray):
+    """(64, 64, 3) RGB/255 crop + (origin, side) for the box, exactly as
+    the live detector builds it (focus/detector.py crop path): square
+    1.4x the box's longer side, bilinear resample."""
+    import cv2
+
+    cx = (box_px[0] + box_px[2]) * 0.5
+    cy = (box_px[1] + box_px[3]) * 0.5
+    side = max(1.4 * max(box_px[2] - box_px[0], box_px[3] - box_px[1]), 8.0)
+    x0, y0 = cx - side / 2.0, cy - side / 2.0
+    m = np.asarray([[64.0 / side, 0.0, -x0 * 64.0 / side],
+                    [0.0, 64.0 / side, -y0 * 64.0 / side]], np.float32)
+    crop = cv2.warpAffine(frame, m, (64, 64), flags=cv2.INTER_LINEAR)
+    return (crop[..., ::-1] / 255.0).astype(np.float32), np.asarray([x0, y0], np.float32), side
 
 
 # ------------------------------------------------------------ gaze trainer
@@ -288,20 +366,24 @@ def train_focus_params(
     config: FocusConfig = FocusConfig(),
     n_steps_det: int = 300,
     n_steps_gaze: int = 200,
+    n_steps_lm: int = 200,
     batch_size: int = 8,
     frame_hw: Tuple[int, int] = (480, 640),
     seed: int = 0,
     lr_det: float = 3e-4,
     lr_gaze: float = 3e-4,
+    lr_lm: float = 1e-3,
     lm_jitter: float = 0.005,
 ) -> Dict:
-    """Train BlazeFaceLite + GazeNet on synthetic supervision and return the
-    params dict ``FocusDetector(params=...)`` consumes."""
+    """Train BlazeFaceLite + LandmarkRefiner + GazeNet on synthetic
+    supervision and return the params dict ``FocusDetector(params=...)``
+    consumes."""
     import cv2
 
     sampler = SyntheticFaceSampler(frame_hw, seed=seed)
     det_trainer = BlazeFaceTrainer(config, seed=seed, lr=lr_det)
     gaze_trainer = GazeTrainer(config, seed=seed, lr=lr_gaze)
+    lm_trainer = LandmarkRefinerTrainer(config, seed=seed, lr=lr_lm)
     crop_fn = make_normalized_crop_fn(config, with_rnorm=True)
 
     h, w = frame_hw
@@ -318,7 +400,35 @@ def train_focus_params(
             "landmarks": np.stack(lmss),
         })
 
+    # Landmark-refiner phase — independent sampler (budget decoupling, as
+    # below). Crop boxes are the GT box jittered in scale/shift to mimic
+    # the live detector's box noise (the refiner must be robust to it).
+    lm_sampler = SyntheticFaceSampler(frame_hw, seed=seed + 2)
+    frame_scale = np.asarray([w, h, w, h], np.float32)
+    for step in range(n_steps_lm):
+        crops, targets = [], []
+        for _ in range(batch_size):
+            frame, gt, _ = lm_sampler.sample()
+            box_px = gt["bbox"] * frame_scale
+            bw, bh = box_px[2] - box_px[0], box_px[3] - box_px[1]
+            # 12% box noise: measured detector boxes at CI budgets deviate
+            # well beyond 6%, and an unseen box-placement regime sends the
+            # refiner back to its mean prediction
+            jit = lm_sampler.rng.normal(0, 0.12, 4) * np.asarray([bw, bh, bw, bh])
+            crop, origin, side = make_refiner_crop(frame, box_px + jit)
+            gt_px = gt["landmarks"] * np.asarray([w, h], np.float32)
+            targets.append((gt_px - origin) / side)
+            crops.append(crop)
+        lm_trainer.train_step({
+            "crop": np.stack(crops),
+            "landmarks": np.stack(targets, dtype=np.float32),
+        })
+
     scale = np.asarray([w, h], np.float32)
+    # Independent sampler for the gaze phase: sharing the detector phase's
+    # RNG stream would make the gaze training data (and the trained gaze
+    # regressor) a function of n_steps_det — budgets must tune separately.
+    gaze_sampler = SyntheticFaceSampler(frame_hw, seed=seed + 1)
     for step in range(n_steps_gaze):
         crops, labels = [], []
         for _ in range(batch_size):
@@ -326,8 +436,8 @@ def train_focus_params(
             # (bbox area > area_thr): train it on that face-size regime.
             # Landmark jitter approximates the live detector's localization
             # noise (the live path frames crops with PREDICTED landmarks).
-            frame, gt, gaze = sampler.sample(min_area=0.04)
-            lms = gt["landmarks"] + sampler.rng.normal(0, lm_jitter, (6, 2))
+            frame, gt, gaze = gaze_sampler.sample(min_area=0.04)
+            lms = gt["landmarks"] + gaze_sampler.rng.normal(0, lm_jitter, (6, 2))
             crop, r_norm = crop_fn(
                 jnp.asarray(frame), jnp.asarray((lms * scale).astype(np.float32))
             )
@@ -345,5 +455,6 @@ def train_focus_params(
 
     return {
         "face_det": jax.tree.map(np.asarray, det_trainer.variables),
+        "lm_refiner": jax.tree.map(np.asarray, lm_trainer.variables),
         "gaze_net": jax.tree.map(np.asarray, gaze_trainer.variables),
     }
