@@ -114,6 +114,14 @@ class ActionRecognizer:
         if not self.support_mask.any():
             return {}, 0, {}
 
+        missing = [m for m in self.modalities if m not in data]
+        if missing:
+            # validate BEFORE appending: a malformed frame left in the
+            # window would poison the next seq_len stacks with KeyError
+            raise ValueError(
+                f"inference data missing modalities {missing} for "
+                f"input_type={self.config.input_type!r} (got {sorted(data)})"
+            )
         self.previous_frames.append({k: np.asarray(v, np.float32) for k, v in data.items()})
         if len(self.previous_frames) < self.seq_len:
             return {}, 0, {}
@@ -210,6 +218,20 @@ class ActionRecognizer:
         data = np.load(os.path.join(directory, "support_set.npz"))
         with open(os.path.join(directory, "support_set.json")) as f:
             meta = json.load(f)
+        if meta.get("input_type") != self.config.input_type:
+            raise ValueError(
+                f"support set was saved for input_type="
+                f"{meta.get('input_type')!r}, recognizer is configured for "
+                f"{self.config.input_type!r}"
+            )
+        for m in self.modalities:
+            want = self.support_data[m].shape
+            got = data[f"data_{m}"].shape
+            if want != got:
+                raise ValueError(
+                    f"support set shape mismatch for {m!r}: saved {got}, "
+                    f"config expects {want} (way/seq_len/size changed?)"
+                )
         self.support_mask = data["mask"]
         for m in self.modalities:
             self.support_data[m] = data[f"data_{m}"]

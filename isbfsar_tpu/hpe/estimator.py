@@ -35,7 +35,7 @@ from isbfsar_tpu.configs import CameraIntrinsics, HPEConfig
 from isbfsar_tpu.models.effnetv2 import V2_L, EfficientNetV2, MetrabsHead
 from isbfsar_tpu.models.yolov4 import YOLOv4
 from isbfsar_tpu.ops.geometry import is_within_fov, mm, virtual_camera, warp_matrix
-from isbfsar_tpu.ops.image import resize_area
+from isbfsar_tpu.ops.image import yolo_preprocess
 from isbfsar_tpu.ops.nms import best_person_box
 from isbfsar_tpu.ops.reconstruct import reconstruct_absolute
 from isbfsar_tpu.ops.softargmax import decode_heatmap2d, decode_heatmap3d, split_head_logits
@@ -78,6 +78,24 @@ class HumanPoseEstimator:
             from isbfsar_tpu.ops.geometry import tta_params
 
             flip, rotflip, gammas, scales = tta_params(config.num_aug)
+            if config.tta_aggregate == "aug0" and bool(flip[0]):
+                # should_flip[0] = (0 - num_aug//2) % 2 != 0: aug 0 is a
+                # FLIPPED augmentation for num_aug % 4 in {2, 3}. The
+                # reference keeps aug 0 without any left/right joint swap
+                # (hpe.py:109,169), so for those counts it would return a
+                # mirrored pose — a latent reference defect (its production
+                # default is num_aug=0, params.py:36). Refuse instead of
+                # reproducing it.
+                raise ValueError(
+                    f"tta_aggregate='aug0' with num_aug={config.num_aug}: "
+                    f"aug 0 is a flipped augmentation for this count and the "
+                    f"kept prediction would be left/right mirrored. Use "
+                    f"num_aug with num_aug % 4 in {{0, 1}} (e.g. 4, 5) or "
+                    f"tta_aggregate='mean'."
+                )
+            # gammas intentionally unused: the reference computes them too
+            # and never applies them to the crops (hpe.py:99-101 feeds
+            # bbone_in/255 straight in) — parity preserved.
             # the reference's scale linspace yields num_aug-1 entries for
             # even num_aug (misc.py:318-320 off-by-one; it only ever ran odd
             # counts) — pad with the last scale to keep shapes consistent
@@ -129,8 +147,7 @@ class HumanPoseEstimator:
         cfg = self.config
         h, w = frame.shape[0], frame.shape[1]
         if yolo_in is None:
-            small = resize_area(frame, cfg.yolo_input_size, cfg.yolo_input_size)
-            yolo_in = (small[..., ::-1] / 255.0)[None]  # BGR -> RGB, NHWC
+            yolo_in = yolo_preprocess(frame, cfg.yolo_input_size)
         boxes, confs = self.yolo.apply(params["yolo"], yolo_in)
         box, conf, found = best_person_box(boxes, confs, cfg.yolo_thresh)
         # Pixel coords, truncated, clamped at 0 (reference hpe.py:76-79).
@@ -146,7 +163,12 @@ class HumanPoseEstimator:
 
     def _box_impl(self, params, frame):
         (x1, y1, x2, y2), conf, found = self._detect(params, frame)
-        return jnp.stack([x1, y1, x2, y2]), conf, found
+        # Same (x1, x2, y1, y2) order as the full path (hpe.py:173). The
+        # reference's just_box returns (x1, y1, x2, y2) (hpe.py:83) but its
+        # consumer unpacks `x1, x2, y1, y2 = bbox` (main.py:80) — i.e. the
+        # reference rgb mode crops from SCRAMBLED coordinates. Normalizing
+        # both paths to one order fixes that instead of reproducing it.
+        return jnp.stack([x1, x2, y1, y2]), conf, found
 
     def _estimate_impl(self, params, frame, yolo_in=None):
         cfg = self.config
@@ -167,7 +189,11 @@ class HumanPoseEstimator:
             new_k = new_k[None]  # (1, 3, 3)
 
         h_mat = warp_matrix(self.k_matrix, new_k, rot)  # (n, 3, 3)
-        crop = warp_image(frame.astype(jnp.int32), h_mat, cfg.crop_size)  # (n, c, c, 3)
+        # round-to-nearest, not truncation: the i420 transport decodes to
+        # FLOAT BGR (e.g. 100.97 where cv2's u8 decode rounds to 101) and
+        # astype(int32) would bias every crop pixel down by up to 1/255 vs
+        # the reference's uint8 input; exact no-op for uint8 frames.
+        crop = warp_image(jnp.round(frame).astype(jnp.int32), h_mat, cfg.crop_size)
         bbone_in = crop.astype(jnp.float32) / 255.0
 
         feats = self.bbone.apply(params["bbone"], bbone_in)
@@ -175,9 +201,14 @@ class HumanPoseEstimator:
 
         logits2d, logits3d = split_head_logits(logits)
         pred3d = decode_heatmap3d(logits3d)  # (n, 32, 3) in [0, 1]
-        pred2d = decode_heatmap2d(logits2d)  # (n, 32, 2) in [0, 255]
-
-        fov = is_within_fov(pred2d)  # (n, 32)
+        # 2D decode + FOV bounds scale with crop_size (the reference
+        # hardcodes 255 / [18, 238] for its fixed 256px crop,
+        # misc.py:212-220; a smaller configured crop must not decode into
+        # 256px coordinates against the crop-sized intrinsics)
+        c = cfg.crop_size
+        pred2d = decode_heatmap2d(logits2d, scale=float(c - 1))  # (n, 32, 2)
+        fov = is_within_fov(pred2d, lower=18.0 * c / 256.0,
+                            upper=238.0 * c / 256.0)  # (n, 32)
 
         pred3d = reconstruct_absolute(pred2d, pred3d, new_k, fov)
         pred3d = mm(pred3d, rot)  # back to original camera space (hpe.py:159)
@@ -191,11 +222,19 @@ class HumanPoseEstimator:
             visible = jnp.sum(fov[0]) >= fov.shape[1] / 4
         elif self._tta is not None:
             # aggregate over non-flipped augs (visibility-weighted mean);
-            # a genuine TTA ensemble instead of the reference's aug0 pick
-            w = self._tta["keep"] * (jnp.sum(fov, axis=1) >= fov.shape[1] / 4)
-            w = w / jnp.maximum(jnp.sum(w), 1.0)
+            # a genuine TTA ensemble instead of the reference's aug0 pick.
+            # When NO kept aug passes the FOV test the weighted mean would
+            # be the zero vector (while still flagged by `visible`) — fall
+            # back to an unweighted mean over the kept augs; `visible` then
+            # correctly reports whether any kept aug saw the person.
+            keep = self._tta["keep"]
+            vis_per_aug = jnp.sum(fov, axis=1) >= fov.shape[1] / 4
+            w_raw = keep * vis_per_aug
+            w_sum = jnp.sum(w_raw)
+            keep_norm = keep / jnp.maximum(jnp.sum(keep), 1.0)
+            w = jnp.where(w_sum > 0, w_raw / jnp.maximum(w_sum, 1e-6), keep_norm)
             pose = jnp.einsum("b,bnc->nc", w, pose_all)
-            visible = jnp.sum(fov[0]) >= fov.shape[1] / 4
+            visible = jnp.any(jnp.logical_and(keep > 0, vis_per_aug))
         else:
             pose = pose_all[0]
             visible = jnp.sum(fov) >= fov.size / 4  # reference hpe.py:152
@@ -231,8 +270,8 @@ class HumanPoseEstimator:
             bbox, conf, found = raw
             if not bool(found):
                 return None
-            x1, y1, x2, y2 = bbox
-            return {"bbox": (int(x1), int(y1), int(x2), int(y2))}
+            x1, x2, y1, y2 = bbox  # normalized order, see _box_impl
+            return {"bbox": (int(x1), int(x2), int(y1), int(y2))}
         pose, bbox, conf, found, visible = raw
         if not bool(found) or not bool(visible):
             return None

@@ -46,11 +46,12 @@ def _upsample2_weights(dst: int) -> np.ndarray:
     return w
 
 
-def _kernel(yuv_ref, uh_ref, vh_ref, cupt_ref, wr_ref, wct_ref,
+def _kernel(y_ref, uh_ref, vh_ref, cupt_ref, wr_ref, wct_ref,
             bgr_ref, yolo_ref):
     """Single-program kernel: all operands resident in VMEM.
 
-    yuv_ref  (H*3//2, W) u8 — only the Y plane rows [0, H) are read here;
+    y_ref    (H, W) u8 — the luma plane (chroma arrives pre-sliced, so the
+             YUV bytes cross HBM->VMEM exactly once);
     uh_ref   (H//2, W//2) u8 — U plane, reshaped outside (cheap u8 relayout);
     vh_ref   (H//2, W//2) u8 — V plane;
     cupt_ref (W//2, W) f32 — exact 2x column upsample (0/1 selection);
@@ -65,7 +66,7 @@ def _kernel(yuv_ref, uh_ref, vh_ref, cupt_ref, wr_ref, wct_ref,
 
     # Mosaic has no direct u8->f32 cast; widen through i32 (exact for u8).
     f32 = lambda q: q.astype(jnp.int32).astype(jnp.float32)
-    y = (f32(yuv_ref[:h, :]) - 16.0) * 1.164
+    y = (f32(y_ref[:, :]) - 16.0) * 1.164
 
     # Chroma 2x upsample: rows via an interleaving jnp.repeat (VPU relayout,
     # free vs MXU work; Mosaic lowers sublane-axis repeat but not lane-axis),
@@ -105,6 +106,7 @@ def fused_i420_inputs(yuv: jnp.ndarray, height: int, yolo_size: int = 256,
     ``yolo_preprocess(bgr, S)``.
     """
     width = yuv.shape[1]
+    y_plane = yuv[:height]
     uh = yuv[height: height + height // 4].reshape(height // 2, width // 2)
     vh = yuv[height + height // 4:].reshape(height // 2, width // 2)
 
@@ -130,7 +132,7 @@ def fused_i420_inputs(yuv: jnp.ndarray, height: int, yolo_size: int = 256,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(yuv, uh, vh, cupt, wr, wct)
+    )(y_plane, uh, vh, cupt, wr, wct)
 
     bgr = jnp.transpose(bgr_chw, (1, 2, 0))
     yolo = jnp.transpose(yolo_chw, (1, 2, 0))[None]

@@ -111,7 +111,11 @@ class TestPipeline:
         frame = rng.integers(0, 255, (120, 160, 3)).astype(np.uint8)
         res = boxer.estimate(frame)
         assert set(res.keys()) == {"bbox"}
-        x1, y1, x2, y2 = res["bbox"]
+        # (x1, x2, y1, y2) — the FULL path's order (hpe.py:173), normalized
+        # across both modes; the reference's just_box emits (x1, y1, x2, y2)
+        # but its own consumer unpacks the full-path order (main.py:80),
+        # cropping from scrambled coordinates — fixed here, not reproduced.
+        x1, x2, y1, y2 = res["bbox"]
         assert x2 > x1 and y2 > y1
 
 
@@ -144,8 +148,10 @@ class TestTTA:
         reconstruct -> de-rotate chain is transform-faithful."""
         import jax.numpy as jnp
 
+        # num_aug=4: aug 0 is unflipped ((0 - 4//2) % 2 == 0) — the
+        # estimator refuses 'aug0' with a flipped aug 0 (see __init__)
         aug = HumanPoseEstimator(
-            dataclasses.replace(TEST_HPE, yolo_thresh=0.0, num_aug=3,
+            dataclasses.replace(TEST_HPE, yolo_thresh=0.0, num_aug=4,
                                 tta_aggregate="aug0"),
             CameraIntrinsics(),
             params=estimator.params,
@@ -154,9 +160,9 @@ class TestTTA:
             yolo_width=0.25,
         )
         aug._tta = {
-            "keep": jnp.ones(3, jnp.float32),
-            "rotflip": jnp.tile(jnp.eye(3)[None], (3, 1, 1)),
-            "scales": jnp.ones(3, jnp.float32),
+            "keep": jnp.ones(4, jnp.float32),
+            "rotflip": jnp.tile(jnp.eye(3)[None], (4, 1, 1)),
+            "scales": jnp.ones(4, jnp.float32),
         }
         frame = rng.integers(0, 255, (120, 160, 3)).astype(np.uint8)
         res_aug = aug.estimate(frame)
