@@ -158,3 +158,44 @@ class TestRecognizer:
         np.testing.assert_array_equal(ar2.support_data["sk"], ar.support_data["sk"])
         assert ar2.requires_focus == {"x": True}
         assert ar2.class_order == ar.class_order
+
+
+class TestSupportSetValidation:
+    def test_load_rejects_input_type_mismatch(self, tmp_path):
+        import dataclasses
+
+        from isbfsar_tpu.configs import ARConfig
+
+        rng = np.random.default_rng(0)
+        ar = ActionRecognizer(ARConfig.for_input("skeleton"))
+        ar.train({"flag": "a", "data": {"poses": rng.normal(size=(ar.config.seq_len, 90)).astype(np.float32)}, "requires_focus": False})
+        ar.save_support_set(str(tmp_path))
+        hybrid = ActionRecognizer(ARConfig.for_input("hybrid"))
+        with pytest.raises(ValueError, match="input_type"):
+            hybrid.load_support_set(str(tmp_path))
+
+    def test_load_rejects_shape_mismatch(self, tmp_path):
+        import dataclasses
+
+        from isbfsar_tpu.configs import ARConfig
+
+        rng = np.random.default_rng(0)
+        ar = ActionRecognizer(ARConfig.for_input("skeleton"))
+        ar.train({"flag": "a", "data": {"poses": rng.normal(size=(ar.config.seq_len, 90)).astype(np.float32)}, "requires_focus": False})
+        ar.save_support_set(str(tmp_path))
+        wide = ActionRecognizer(dataclasses.replace(ARConfig.for_input("skeleton"), way=8))
+        with pytest.raises(ValueError, match="shape mismatch"):
+            wide.load_support_set(str(tmp_path))
+
+    def test_inference_rejects_missing_modality_before_append(self):
+        from isbfsar_tpu.configs import ARConfig
+
+        rng = np.random.default_rng(0)
+        ar = ActionRecognizer(ARConfig.for_input("skeleton"))
+        ar.train({"flag": "a", "data": {"poses": rng.normal(size=(ar.config.seq_len, 90)).astype(np.float32)}, "requires_focus": False})
+        with pytest.raises(ValueError, match="missing modalities"):
+            ar.inference({"wrong_key": np.zeros(90, np.float32)})
+        # the malformed frame must NOT have entered the window
+        assert len(ar.previous_frames) == 0
+        for _ in range(ar.config.seq_len):
+            ar.inference({"sk": rng.normal(size=90).astype(np.float32)})  # no crash

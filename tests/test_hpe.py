@@ -189,3 +189,23 @@ class TestTTA:
         pose_ref = mk("aug0").estimate(frame)["pose"]
         pose_mean = mk("mean").estimate(frame)["pose"]
         assert np.abs(pose_ref - pose_mean).max() > 1e-6
+
+
+class TestTTAConfigGuards:
+    def test_aug0_with_flipped_aug0_refused(self):
+        """num_aug % 4 in {2, 3} makes aug 0 a flipped augmentation; 'aug0'
+        mode must refuse (the reference would return a mirrored pose)."""
+        for bad in (2, 3, 6, 7):
+            with pytest.raises(ValueError, match="flipped augmentation"):
+                HumanPoseEstimator(
+                    dataclasses.replace(TEST_HPE, num_aug=bad, tta_aggregate="aug0"),
+                    CameraIntrinsics(),
+                    backbone_stages=V2_TINY, frame_shape=(120, 160),
+                    yolo_width=0.25,
+                )
+        # unflipped counts construct fine (no params init needed beyond jit)
+        HumanPoseEstimator(
+            dataclasses.replace(TEST_HPE, num_aug=4, tta_aggregate="aug0"),
+            CameraIntrinsics(), backbone_stages=V2_TINY,
+            frame_shape=(120, 160), yolo_width=0.25,
+        )
