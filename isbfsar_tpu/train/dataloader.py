@@ -62,7 +62,9 @@ def _load_frame_image(path: str, i: int) -> np.ndarray:
         raise FileNotFoundError(f"{path}/{i}.png")
     img = cv2.resize(img, (224, 224)) / 255.0
     # the reference's idiosyncratic whitening (dataloader.py:81)
-    img = img * np.array([0.229, 0.224, 0.225]) + np.array([0.485, 0.456, 0.406])
+    from isbfsar_tpu.ops.image import IMAGENET_SCALE, IMAGENET_SHIFT
+
+    img = img * np.array(IMAGENET_SCALE) + np.array(IMAGENET_SHIFT)
     return img  # NHWC float64 -> cast later
 
 
@@ -101,6 +103,7 @@ class EpisodicSampler:
             self.queries = _clip_subdirs(base)
             self.n_task = len(self.queries)
         self.default_sample = None
+        self._clip_dir_cache: Dict = {}
 
         spec = get_skeleton(skeleton)
         self.indices = list(spec.indices)
@@ -109,8 +112,15 @@ class EpisodicSampler:
     # ------------------------------------------------------------- sampling
 
     def _clip_dirs(self, class_name: str, use_exemplars: bool) -> List[str]:
-        root = self.exemplars_path if use_exemplars else self.queries_path
-        return _clip_subdirs(os.path.join(root, class_name))
+        # cached: this sits on the sampling hot path (~3 listdir sweeps per
+        # episode x n_task otherwise) and trees are static during training
+        key = (class_name, use_exemplars)
+        hit = self._clip_dir_cache.get(key)
+        if hit is None:
+            root = self.exemplars_path if use_exemplars else self.queries_path
+            hit = _clip_subdirs(os.path.join(root, class_name))
+            self._clip_dir_cache[key] = hit
+        return hit
 
     def load_clip(self, path: str) -> Dict[str, np.ndarray]:
         poses, imgs = [], []
@@ -163,7 +173,14 @@ class EpisodicSampler:
             if self.support_classes
             else self.rng.sample(self.all_classes, self.k)
         )
-        target_class = self.rng.choice(support_classes)
+        if self.queries:
+            # pinned-query mode: the target clip IS a query_class clip —
+            # label it as such ('known' then reflects real membership);
+            # labelling it with a random support class would score the
+            # few-shot prediction against a class unrelated to the clip
+            target_class = self.query_class
+        else:
+            target_class = self.rng.choice(support_classes)
         unknown_class = self.rng.choice(
             [c for c in self.all_classes if c not in support_classes]
         )

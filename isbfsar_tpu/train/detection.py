@@ -103,7 +103,13 @@ def detection_loss(
     iou = jnp.where(gt_valid[None, :], iou, -1.0)
 
     best_pred = jnp.argmax(iou, axis=0)  # (m,) best prediction per GT
-    pos_mask = jnp.zeros(pred_scores.shape[0], bool).at[best_pred].set(gt_valid)
+    # Invalid (padding) GTs all argmax to prediction 0; scattering their
+    # False there could nondeterministically erase a REAL positive at
+    # index 0 (duplicate-index scatter order is unspecified). Route them to
+    # an out-of-range index dropped by the scatter instead.
+    n = pred_scores.shape[0]
+    safe_pred = jnp.where(gt_valid, best_pred, n)
+    pos_mask = jnp.zeros(n, bool).at[safe_pred].set(True, mode="drop")
     max_iou = jnp.max(iou, axis=1)
     neg_mask = jnp.logical_and(max_iou < neg_iou, jnp.logical_not(pos_mask))
 
@@ -126,29 +132,55 @@ class DetectorTrainer:
                  lr: float = 1e-4):
         self.net = HeadDetectorNet()
         self.input_size = input_size
-        self.params = jax.jit(
+        variables = jax.jit(
             lambda k: self.net.init(k, jnp.zeros((1, input_size, input_size, 3)))
         )(jax.random.key(seed))
+        # split params from BN stats: stats must update via the train-mode
+        # forward (mutable), NOT receive Adam updates as if they were
+        # weights, and the forward must normalize with batch statistics —
+        # the gazefocus trainers' rule ("frozen init stats barely learns")
+        self._stats0 = variables.get("batch_stats", {})
+        self.params = {"params": variables["params"]}
+        self.batch_stats = dict(self._stats0)
         self.optimizer = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(lr))
         self.opt_state = self.optimizer.init(self.params)
 
-        def loss_fn(params, batch):
-            boxes, scores = self.net.apply(params, batch["image"])
+        def loss_fn(params, batch_stats, batch):
+            if batch_stats:
+                (boxes, scores), new_state = self.net.apply(
+                    {"params": params["params"], "batch_stats": batch_stats},
+                    batch["image"], train=True, mutable=["batch_stats"],
+                )
+                new_stats = new_state["batch_stats"]
+            else:
+                boxes, scores = self.net.apply(params, batch["image"])
+                new_stats = batch_stats
             losses, aux = jax.vmap(detection_loss)(
                 boxes, scores, batch["boxes"], batch["valid"]
             )
-            return jnp.mean(losses), jax.tree.map(jnp.mean, aux)
+            return jnp.mean(losses), (jax.tree.map(jnp.mean, aux), new_stats)
 
-        def step(params, opt_state, batch):
-            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, batch)
+        def step(params, batch_stats, opt_state, batch):
+            (loss, (aux, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params, batch_stats, batch)
             updates, opt_state = self.optimizer.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state, loss, aux
+            return optax.apply_updates(params, updates), new_stats, opt_state, loss, aux
 
-        self._step = jax.jit(step, donate_argnums=(0, 1))
+        self._step = jax.jit(step, donate_argnums=(0, 1, 2))
+
+    @property
+    def variables(self):
+        v = dict(self.params)
+        if self.batch_stats:
+            v["batch_stats"] = self.batch_stats
+        return v
 
     def train_step(self, batch: Dict[str, np.ndarray]) -> float:
         batch = jax.tree.map(jnp.asarray, batch)
-        self.params, self.opt_state, loss, _ = self._step(self.params, self.opt_state, batch)
+        self.params, self.batch_stats, self.opt_state, loss, _ = self._step(
+            self.params, self.batch_stats, self.opt_state, batch
+        )
         return float(loss)
 
     def fit(self, dataset, n_epochs: int = 1, batch_size: int = 4) -> List[float]:

@@ -32,9 +32,20 @@ def _load_params(cfg, path):
         lambda k: model.init(k, q, jnp.ones((1, cfg.way), bool), support_data=s)
     )(jax.random.key(0))
     state = load_checkpoint(
-        path, {"params": template["params"], "batch_stats": {}, "opt_state": None}
+        path,
+        {
+            "params": template["params"],
+            # rgb/hybrid checkpoints carry trained BN running stats; an
+            # empty template would silently drop them and the eval forward
+            # (use_running_average=True) could not find its mean/var
+            "batch_stats": template.get("batch_stats", {}),
+            "opt_state": None,
+        },
     )
-    return {"params": state["params"]}
+    variables = {"params": state["params"]}
+    if state.get("batch_stats"):
+        variables["batch_stats"] = state["batch_stats"]
+    return variables
 
 
 def main() -> None:

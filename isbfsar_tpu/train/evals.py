@@ -118,11 +118,13 @@ def discriminator_confusion(
 
     import os
 
+    from isbfsar_tpu.train.dataloader import _clip_subdirs
+
     # exemplar clip per class, tiled into the way-width support tensor
+    # (directories only — extraction leaves .skip_<idx> marker FILES)
     exemplars = {}
     for c in classes:
-        clip = sorted(os.listdir(os.path.join(exemplars_path, c)))[0]
-        exemplars[c] = loader.load_clip(os.path.join(exemplars_path, c, clip))
+        exemplars[c] = loader.load_clip(_clip_subdirs(os.path.join(exemplars_path, c))[0])
 
     matrix = np.zeros((n, n), np.float64)
     for i, s_class in enumerate(classes):
@@ -134,8 +136,8 @@ def discriminator_confusion(
         for j, q_class in enumerate(classes):
             base = os.path.join(queries_path, q_class)
             scores = []
-            for clip in sorted(os.listdir(base))[:max_queries_per_class]:
-                q = loader.load_clip(os.path.join(base, clip))
+            for clip_dir in _clip_subdirs(base)[:max_queries_per_class]:
+                q = loader.load_clip(clip_dir)
                 score = forward(
                     params, ss, mask, {m: jnp.asarray(v[None]) for m, v in q.items()}
                 )

@@ -66,11 +66,12 @@ def evaluate_fsos(
         n_test_classes = len(list_classes(exemplars_path))
 
     results = {"FSOS-ACC": [], "FS-ACC": [], "OS-ACC": []}
+    k_eff = min(k, n_test_classes)
     for rep in range(n_repeats):
         sampler = FSOSEpisodicSampler(
             queries_path,
             exemplars_path,
-            support_class_ids=rng.sample(range(n_test_classes), min(k, n_test_classes)),
+            support_class_ids=rng.sample(range(n_test_classes), k_eff),
             l=config.seq_len,
             input_type=config.input_type,
         )
@@ -78,9 +79,15 @@ def evaluate_fsos(
         os_hits: List[np.ndarray] = []
         fsos_hits: List[np.ndarray] = []
 
-        for batch in batch_iterator(sampler, batch_size, shuffle=False, drop_last=True):
+        # drop_last=False: queries are listed class-by-class in sorted
+        # order, so dropping the tail would systematically under-sample the
+        # last class on EVERY repeat (the tail batch costs one extra jit
+        # compile for its size — once, cached after).
+        for batch in batch_iterator(sampler, batch_size, shuffle=False, drop_last=False):
             b = batch["target_class"].shape[0]
-            mask = jnp.ones((b, config.way), bool)
+            # mask width must match the support tensor (k_eff classes), not
+            # config.way — k != way crashed the forward with a shape error
+            mask = jnp.ones((b, k_eff), bool)
             support = jax.tree.map(jnp.asarray, batch["support_set"])
             target = jax.tree.map(jnp.asarray, batch["target_set"])
             logits, is_true = forward(params, support, mask, target)

@@ -85,35 +85,53 @@ class MutualGazeTrainer:
             k1, k2 = jax.random.split(key)
             bb = self.backbone.init(k1, jnp.zeros((1, size, size, 3)))
             hd = self.head.init(k2, jnp.zeros((1, feat_dim)))
-            return {"backbone": bb, "head": hd}
+            # split weights from BN running stats: stats update through the
+            # train-mode forward (mutable collection), NOT via Adam as if
+            # they were weights — and the forward must normalize with batch
+            # statistics (frozen init stats never normalize; the gazefocus
+            # trainers document the same rule)
+            return (
+                {"backbone": bb["params"], "head": hd["params"]},
+                {"backbone": bb.get("batch_stats", {})},
+            )
 
         self._init = init
         self.optimizer = optax.adam(config.lr)
         self.reset(seed)
 
-        def loss_fn(params, images, labels):
-            feats = self.backbone.apply(params["backbone"], images)
-            pred = self.head.apply(params["head"], feats)[:, 0]
+        def loss_fn(params, batch_stats, images, labels):
+            feats, new_state = self.backbone.apply(
+                {"params": params["backbone"], "batch_stats": batch_stats["backbone"]},
+                images, train=True, mutable=["batch_stats"],
+            )
+            pred = self.head.apply({"params": params["head"]}, feats)[:, 0]
             p = jnp.clip(pred, 1e-6, 1 - 1e-6)
             loss = -jnp.mean(labels * jnp.log(p) + (1 - labels) * jnp.log(1 - p))
-            return loss, pred
+            return loss, (pred, {"backbone": new_state["batch_stats"]})
 
-        def step(params, opt_state, images, labels):
-            (loss, pred), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, images, labels
-            )
+        def step(params, batch_stats, opt_state, images, labels):
+            (loss, (pred, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params, batch_stats, images, labels)
             updates, opt_state = self.optimizer.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state, loss, pred
+            return optax.apply_updates(params, updates), new_stats, opt_state, loss, pred
 
-        self._step = jax.jit(step, donate_argnums=(0, 1))
-        self._predict = jax.jit(lambda p, x: self.head.apply(
-            p["head"], self.backbone.apply(p["backbone"], x))[:, 0])
+        self._step = jax.jit(step, donate_argnums=(0, 1, 2))
+        self._predict = jax.jit(lambda p, st, x: self.head.apply(
+            {"params": p["head"]},
+            self.backbone.apply(
+                {"params": p["backbone"], "batch_stats": st["backbone"]}, x
+            ))[:, 0])
 
     def reset(self, seed: int = 0) -> None:
         """Fresh params + optimizer state (a new model, reference train.py
         builds one per session)."""
-        self.params = self._init(jax.random.key(seed))
+        self.params, self.batch_stats = self._init(jax.random.key(seed))
         self.opt_state = self.optimizer.init(self.params)
+
+    @property
+    def variables(self):
+        return {"params": self.params, "batch_stats": self.batch_stats}
 
     def train_epoch(self, dataset, batch_size: int = 8, augment: bool = True,
                     seed: int = 0) -> float:
@@ -128,8 +146,8 @@ class MutualGazeTrainer:
                     img, label = augment_flip(img, label, rng)
                 imgs.append(img)
                 labels.append(label)
-            self.params, self.opt_state, loss, _ = self._step(
-                self.params, self.opt_state,
+            self.params, self.batch_stats, self.opt_state, loss, _ = self._step(
+                self.params, self.batch_stats, self.opt_state,
                 jnp.asarray(np.stack(imgs)), jnp.asarray(np.asarray(labels, np.float32)),
             )
             losses.append(float(loss))
@@ -140,7 +158,7 @@ class MutualGazeTrainer:
         for i in range(0, len(dataset), batch_size):
             items = [dataset[j] for j in range(i, min(i + batch_size, len(dataset)))]
             imgs = jnp.asarray(np.stack([it[0] for it in items]))
-            pred = np.asarray(self._predict(self.params, imgs))
+            pred = np.asarray(self._predict(self.params, self.batch_stats, imgs))
             preds.append(pred > 0.5)
             trues.append(np.asarray([it[1] for it in items], bool))
         return binary_prf(np.concatenate(trues), np.concatenate(preds))
@@ -167,7 +185,7 @@ class MutualGazeTrainer:
                 if ckpt_dir and metrics["f1"] > best_f1:
                     best_f1 = metrics["f1"]
                     ckpt.save_checkpoint(
-                        ckpt_dir, fold, self.params,
+                        ckpt_dir, fold, self.variables,
                         meta={"fold": fold, "f1": metrics["f1"]},
                     )
             results.append(self.evaluate(test_data, batch_size))
