@@ -217,10 +217,11 @@ def main() -> None:
     import jax
 
     # Persistent XLA compile cache: warmup compiles the big fused programs
-    # once (~15 min through the remote-compile relay); later runs reuse them.
-    jax.config.update("jax_compilation_cache_dir", "/tmp/isbfsar_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    # once (~15 min through the remote-compile relay); later runs reuse
+    # them. Shared helper honors JAX_COMPILATION_CACHE_DIR like the service.
+    from isbfsar_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
 
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", default="full",

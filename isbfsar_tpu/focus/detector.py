@@ -218,6 +218,11 @@ class FocusDetector:
 
         self.focuses.append(focus)
         self.focuses = self.focuses[-cfg.patience:]
+        # exposed as an attribute, NOT returned: the reference also returns
+        # the instantaneous focus and keeps the majority vote on
+        # self.is_focus (focus.py:136-140; its main.py consumes the
+        # returned value) — parity preserved, the smoothed signal is there
+        # for consumers that want it
         self.is_focus = self.focuses.count(True) > len(self.focuses) / 2
 
         return focus, face

@@ -89,14 +89,11 @@ class MutualGazeDetector:
         score = scores[0, best]
         box = boxes[0, best] * jnp.asarray([w, h, w, h], jnp.float32)
 
-        # Square pad crop around the head (reference focus.py:49-66) via a
-        # gather resample — dynamic bbox, static output shape.
-        cx = (box[0] + box[2]) / 2.0
-        cy = (box[1] + box[3]) / 2.0
-        half = jnp.maximum(jnp.maximum(box[2] - box[0], box[3] - box[1]) / 2.0, 1.0)
-        xs = jnp.clip((cx - half) + (jnp.arange(size) + 0.5) * (2 * half / size), 0, w - 1).astype(jnp.int32)
-        ys = jnp.clip((cy - half) + (jnp.arange(size) + 0.5) * (2 * half / size), 0, h - 1).astype(jnp.int32)
-        crop = frame[ys][:, xs].astype(jnp.float32)
+        # Square pad crop around the head (reference focus.py:49-66):
+        # shared gather-resample helper, dynamic bbox / static output shape
+        from isbfsar_tpu.ops.image import square_box_crop_gather
+
+        crop = square_box_crop_gather(frame, (box[0], box[1], box[2], box[3]), size)
 
         x = (crop[..., ::-1] / 255.0)[None]
         feats = self.backbone.apply(params["backbone"], x)

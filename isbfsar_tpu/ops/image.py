@@ -106,6 +106,23 @@ def center_square_crop_resize(img: jnp.ndarray, bbox, out: int = 224) -> jnp.nda
     return img[ys][:, xs]
 
 
+def square_box_crop_gather(frame: jnp.ndarray, box, size: int) -> jnp.ndarray:
+    """Square pad-crop around a pixel box via gather resample (nearest at
+    pixel centers): dynamic box, STATIC output shape — jit-safe. box:
+    (x1, y1, x2, y2) traced scalars. Returns (size, size, c) float32.
+
+    Shared by the focus-side head crops (focus/head_pose.py,
+    focus/mutual.py — reference focus.py:49-66 semantics)."""
+    h, w, _ = frame.shape
+    x1, y1, x2, y2 = box
+    cx = (x1 + x2) / 2.0
+    cy = (y1 + y2) / 2.0
+    half = jnp.maximum(jnp.maximum(x2 - x1, y2 - y1) / 2.0, 1.0)
+    xs = jnp.clip((cx - half) + (jnp.arange(size) + 0.5) * (2 * half / size), 0, w - 1).astype(jnp.int32)
+    ys = jnp.clip((cy - half) + (jnp.arange(size) + 0.5) * (2 * half / size), 0, h - 1).astype(jnp.int32)
+    return frame[ys][:, xs].astype(jnp.float32)
+
+
 def i420_to_bgr(yuv: jnp.ndarray, height: int) -> jnp.ndarray:
     """Planar I420 (YUV 4:2:0) -> BGR float32, in-graph.
 

@@ -101,10 +101,21 @@ class FusedPipeline:
         self.input_type = self.config.main.input_type
         assert input_format in ("bgr", "i420")
         self.input_format = input_format
-        self.hpe = hpe or HumanPoseEstimator(self.config.hpe, self.config.intrinsics)
+        # frame geometry follows the configured camera (a 720p config must
+        # not split a planar i420 frame at row 480 or compute the focus
+        # area fraction against the wrong frame area)
+        cam_shape = (self.config.main.cam_height, self.config.main.cam_width)
+        self.hpe = hpe or HumanPoseEstimator(
+            self.config.hpe, self.config.intrinsics, frame_shape=cam_shape
+        )
         self.ar = ar or ActionRecognizer(self.config.ar)
         self.with_focus = with_focus
-        self.focus = (focus or FocusDetector(self.config.focus, self.config.intrinsics)) if with_focus else None
+        self.focus = (
+            focus
+            or FocusDetector(
+                self.config.focus, self.config.intrinsics, frame_shape=cam_shape
+            )
+        ) if with_focus else None
 
         # Pallas fused input stage — measured SLOWER end-to-end than the
         # composed XLA path on v5e (108.3 vs 111.3 FPS median, p50 48.6 vs
@@ -199,9 +210,21 @@ class FusedPipeline:
         Returns (values dict, new StreamState)."""
         cfg = self.config.ar
 
-        pose, bbox, conf, found, visible = self.hpe._estimate_impl(
-            params["hpe"], frame, yolo_in=yolo_in
-        )
+        if self.input_type == "rgb" and self.hpe.just_box:
+            # detector-only path (the reference's just_box, hpe.py:82-83):
+            # rgb mode never consumes a pose, so skip the EffNetV2-L
+            # backbone + head + reconstruction — the dominant per-frame
+            # FLOPs — and run YOLO alone
+            (bx1, by1, bx2, by2), conf, found = self.hpe._detect(
+                params["hpe"], frame, yolo_in=yolo_in
+            )
+            bbox = jnp.stack([bx1, bx2, by1, by2])
+            pose = jnp.zeros((cfg.n_joints, 3), jnp.float32)
+            visible = found
+        else:
+            pose, bbox, conf, found, visible = self.hpe._estimate_impl(
+                params["hpe"], frame, yolo_in=yolo_in
+            )
         # rgb mode gates only on detection (the reference's just_box path has
         # no pose/visibility, main.py:76-93); skeleton/hybrid also require
         # the FOV-visibility flag (hpe.py:149-153)
@@ -215,14 +238,13 @@ class FusedPipeline:
         if self.input_type in ("skeleton", "hybrid"):
             kwargs["sk"] = rel_pose.reshape(-1)
         if self.input_type in ("rgb", "hybrid"):
-            from isbfsar_tpu.ops.image import IMAGENET_SCALE, IMAGENET_SHIFT, center_square_crop_resize
+            from isbfsar_tpu.ops.image import ar_rgb_preprocess, center_square_crop_resize
 
             x1, x2, y1, y2 = bbox[0], bbox[1], bbox[2], bbox[3]
             crop = center_square_crop_resize(
                 frame, (x1, y1, x2, y2), self.config.ar.rgb_size
-            ).astype(jnp.float32)
-            crop = crop / 255.0 * jnp.asarray(IMAGENET_SCALE) + jnp.asarray(IMAGENET_SHIFT)
-            kwargs["rgb"] = crop
+            )
+            kwargs["rgb"] = ar_rgb_preprocess(crop)
         feature = self.ar.model.apply(params["ar"], method="embed_frame", **kwargs)
 
         # sliding window push (reference ar.py:42-46), only on good frames
@@ -296,10 +318,21 @@ class FusedPipeline:
         b = frames.shape[0]
         frames, yolo_ins = jax.vmap(self._decode_frame)(frames)
 
-        pose, bbox, conf, found, visible = jax.vmap(
-            lambda p, f, y: self.hpe._estimate_impl(p, f, yolo_in=y),
-            in_axes=(None, 0, None if yolo_ins is None else 0),
-        )(params["hpe"], frames, yolo_ins)
+        yolo_ax = None if yolo_ins is None else 0
+        if self.input_type == "rgb" and self.hpe.just_box:
+            # detector-only (see _frame_core): no pose consumer in rgb mode
+            (bx1, by1, bx2, by2), conf, found = jax.vmap(
+                lambda p, f, y: self.hpe._detect(p, f, yolo_in=y),
+                in_axes=(None, 0, yolo_ax),
+            )(params["hpe"], frames, yolo_ins)
+            bbox = jnp.stack([bx1, bx2, by1, by2], axis=-1)
+            pose = jnp.zeros((b, cfg.n_joints, 3), jnp.float32)
+            visible = found
+        else:
+            pose, bbox, conf, found, visible = jax.vmap(
+                lambda p, f, y: self.hpe._estimate_impl(p, f, yolo_in=y),
+                in_axes=(None, 0, yolo_ax),
+            )(params["hpe"], frames, yolo_ins)
         pose_ok = found if self.input_type == "rgb" else jnp.logical_and(found, visible)
 
         distance = jnp.linalg.norm(pose[:, 0], axis=-1) * 2.5
@@ -311,16 +344,12 @@ class FusedPipeline:
             if self.input_type in ("skeleton", "hybrid"):
                 kwargs["sk"] = rel.reshape(-1)
             if self.input_type in ("rgb", "hybrid"):
-                from isbfsar_tpu.ops.image import (
-                    IMAGENET_SCALE,
-                    IMAGENET_SHIFT,
-                    center_square_crop_resize,
-                )
+                from isbfsar_tpu.ops.image import ar_rgb_preprocess, center_square_crop_resize
 
                 crop = center_square_crop_resize(
                     frame, (box[0], box[2], box[1], box[3]), cfg.rgb_size
-                ).astype(jnp.float32)
-                kwargs["rgb"] = crop / 255.0 * jnp.asarray(IMAGENET_SCALE) + jnp.asarray(IMAGENET_SHIFT)
+                )
+                kwargs["rgb"] = ar_rgb_preprocess(crop)
             return self.ar.model.apply(params["ar"], method="embed_frame", **kwargs)
 
         features = jax.vmap(frame_feature)(frames, rel_pose, bbox)
@@ -484,11 +513,14 @@ class FusedPipeline:
         """Convert unpacked outputs into the orchestrator's elements contract."""
         elements: Dict[str, Any] = {}
         if outputs["pose_ok"] > 0:
-            elements["pose"] = outputs["pose"]
-            elements["distance"] = float(outputs["distance"])
+            if not (self.input_type == "rgb" and self.hpe.just_box):
+                # rgb just_box has no pose to publish (the reference's rgb
+                # elements carry only bbox, main.py:76-93)
+                elements["pose"] = outputs["pose"]
+                elements["distance"] = float(outputs["distance"])
+                elements["edges"] = self.hpe.edges
             x1, x2, y1, y2 = (int(v) for v in outputs["bbox"])
             elements["bbox"] = (x1, x2, y1, y2)
-            elements["edges"] = self.hpe.edges
         # Actions require BOTH a full window and a person on THIS frame:
         # the reference feeds AR an empty dict when no pose was found
         # (main.py:77-108), so inference returns ({}, 0, {}) on such frames.
@@ -533,3 +565,7 @@ class FusedPipeline:
         for _ in range(n):
             out = self.step(dummy)
         jax.block_until_ready(self._state.window)
+        # dummy frames must not leak into the live AR window: with a low
+        # detection threshold (smoke runs) or false positives, their
+        # features would occupy ring slots and fire ar_ready early
+        self._state = self.init_state()

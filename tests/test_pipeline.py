@@ -195,3 +195,47 @@ class TestFusedRgbHybrid:
         batched = list(p.stream_batched(iter(frames), batch_size=3))
         for s, b in zip(seq, batched):
             np.testing.assert_allclose(b["probs"], s["probs"], rtol=1e-4, atol=1e-5)
+
+
+class TestFusedRgbJustBox:
+    def test_detector_only_path(self, pipe):
+        """rgb + just_box (the reference's actual rgb configuration,
+        configs.for_input): the fused step runs YOLO only — no pose chain —
+        and decode publishes bbox but NO pose, matching the reference's rgb
+        elements (main.py:76-93)."""
+        from isbfsar_tpu.hpe.estimator import HumanPoseEstimator
+
+        hpe = HumanPoseEstimator(
+            dataclasses.replace(pipe.hpe.config, yolo_thresh=0.0),
+            CameraIntrinsics(width=FRAME_SHAPE[1], height=FRAME_SHAPE[0]),
+            params=pipe.hpe.params,
+            backbone_stages=V2_TINY, frame_shape=FRAME_SHAPE,
+            just_box=True, yolo_width=0.25,
+        )
+        ar_cfg = dataclasses.replace(ARConfig.for_input("rgb"), rgb_size=64)
+        ar = ActionRecognizer(ar_cfg)
+        cfg = PipelineConfig(
+            main=MainConfig.for_input("rgb"),
+            hpe=dataclasses.replace(
+                HPEConfig(yolo_input_size=128, crop_size=256),
+                yolo_thresh=0.0, just_box=True,
+            ),
+            ar=ar_cfg,
+        )
+        p = FusedPipeline(cfg, hpe=hpe, ar=ar, with_focus=False)
+        rng = np.random.default_rng(0)
+        for i in range(2):
+            ar.train({
+                "flag": f"a{i}",
+                "data": {"imgs": rng.uniform(0, 1, (ar_cfg.seq_len, 64, 64, 3)).astype(np.float32)},
+                "requires_focus": False,
+            })
+        p.start()
+        src = SyntheticSource(FRAME_SHAPE[1], FRAME_SHAPE[0])
+        for _ in range(ar_cfg.seq_len):
+            elements = p.decode(p.step(src.read()[1]))
+        assert set(elements["actions"]) == {"a0", "a1"}
+        assert "bbox" in elements
+        assert "pose" not in elements and "distance" not in elements
+        x1, x2, y1, y2 = elements["bbox"]
+        assert x2 > x1 and y2 > y1

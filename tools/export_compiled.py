@@ -29,6 +29,17 @@ def export_pipeline(out_dir: str, check: bool = True, with_focus: bool = True) -
     import jax.numpy as jnp
     from jax import export as jexport
 
+    from isbfsar_tpu.pipeline import StreamState
+
+    # the fused step threads a StreamState namedtuple; jax.export needs
+    # custom pytree containers registered for serialization
+    try:
+        jexport.register_namedtuple_serialization(
+            StreamState, serialized_name="isbfsar_tpu.StreamState"
+        )
+    except ValueError:
+        pass  # already registered (repeat invocation in one process)
+
     from isbfsar_tpu.configs import PipelineConfig
     from isbfsar_tpu.pipeline import FusedPipeline
 
@@ -62,11 +73,14 @@ def export_pipeline(out_dir: str, check: bool = True, with_focus: bool = True) -
     print(f"[export] wrote {path} ({os.path.getsize(path) / 1e6:.1f} MB)")
 
     if check:
-        # boundary parity: reload and diff against the live program
+        # boundary parity: reload and diff against the live program.
+        # pipe._step donates its state argument (donate_argnums=(3,)), so
+        # each call gets a FRESH state buffer — reusing one would pass a
+        # deleted array to the second call.
         with open(path, "rb") as f:
             reloaded = jexport.deserialize(f.read())
-        live_out, _ = pipe._step(*args)
-        exp_out, _ = reloaded.call(*args)
+        live_out, _ = pipe._step(*args[:3], pipe.init_state(), args[4])
+        exp_out, _ = reloaded.call(*args[:3], pipe.init_state(), args[4])
         diff = float(jnp.max(jnp.abs(live_out - exp_out)))
         print(f"[export] parity max|diff| = {diff:.3e}")
         assert diff < 1e-4, "exported program diverges from the live one"
@@ -76,7 +90,7 @@ def export_pipeline(out_dir: str, check: bool = True, with_focus: bool = True) -
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--out", default="exported")
-    parser.add_argument("--check", action="store_true", default=True)
+    parser.add_argument("--check", action=argparse.BooleanOptionalAction, default=True)
     parser.add_argument("--no-focus", action="store_true")
     args = parser.parse_args()
     export_pipeline(args.out, check=args.check, with_focus=not args.no_focus)
