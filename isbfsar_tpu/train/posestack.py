@@ -1,0 +1,644 @@
+"""Training harness for the pose stack (N2/N4/N5's route to weights).
+
+The reference's pose nets are externally-pretrained engines it can never
+train (Tianxiaomo YOLOv4 + MetrABS EffNetV2-L, reference
+modules/hpe/setup/1_extract_yolo_onnx.py, 2_extract_bbone_heads.py, consumed
+hpe.py:48-173). This framework's YOLOv4/EfficientNetV2/MetrabsHead
+(models/yolov4.py, models/effnetv2.py) are its own nets, so — like the focus
+stack (train/gazefocus.py) — they get a training path with exact synthetic
+supervision:
+
+- :func:`render_humanoid_scene` — an articulated 32-joint humanoid with
+  EXACT projective ground truth: camera-space 3D joints, their 2D
+  projections, and the pixel bbox of the rendered body.
+- :class:`YoloTrainer` — person-detection loss on the decoded 4032-anchor
+  contract (anchor assignment like train/detection.py; the full 80-class
+  vector is supervised because ``best_person_box`` requires class 0 to be
+  the argmax, ops/nms.py:118-131).
+- :class:`HeatmapTrainer` — trains EffNetV2+MetrabsHead through the SAME
+  in-graph virtual-camera + warp chain the live estimator runs
+  (hpe/estimator.py:173-216), supervising the soft-argmax decodes:
+  2D in crop pixels, 3D in the [0,1]^3 heatmap box.
+- :func:`train_pose_params` — end-to-end: returns the ``{"yolo", "bbone",
+  "head"}`` params dict ``HumanPoseEstimator(params=...)`` consumes.
+
+3D unit convention (self-consistency proof): the reference feeds the [0,1]
+soft-argmax decode straight into ``reconstruct_absolute`` and reads distance
+as ``norm(pose[0]) * 2.5`` (reference hpe.py:155-159, main.py:102) — i.e.
+its pose unit is a 2.5 m heatmap box. We train ``pred3d = (X_crop -
+centroid) / 2.5 + 0.5``: the reconstruction ``abs = rel + ref`` then has the
+exact solution ``ref = centroid/2.5 - 0.5`` giving ``abs = X_crop/2.5``,
+whose perspective projection equals the true 2D observations (projection is
+scale-invariant), so both reconstruction branches agree and the pipeline's
+``distance`` comes out in true meters.
+
+With real datasets (COCO-person boxes + any 3D mocap set) the same trainers
+apply unchanged; the synthetic generator exists so the full loop is
+exercisable and tested in this repo.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from isbfsar_tpu.configs import CameraIntrinsics
+from isbfsar_tpu.models.effnetv2 import V2_TINY, EfficientNetV2, MetrabsHead
+from isbfsar_tpu.models.yolov4 import YOLOv4
+from isbfsar_tpu.ops.geometry import mm, project, virtual_camera, warp_matrix
+from isbfsar_tpu.ops.warp import warp_image
+from isbfsar_tpu.ops.softargmax import decode_heatmap2d, decode_heatmap3d, split_head_logits
+from isbfsar_tpu.train.detection import pairwise_iou
+
+# 3D heatmap box size in meters (see module docstring).
+BOX_SIZE_M = 2.5
+
+# ------------------------------------------------------------ humanoid model
+#
+# 32 joints in SMPL order (0-23) + 8 head/face joints — the raw-joint count
+# of the MetrabsHead contract (288 = 32 x 9 channels). Body-local frame:
+# x right, y DOWN (camera convention), z away from camera; origin at pelvis;
+# the subject faces the camera (nose at negative z).
+
+JOINT_NAMES = (
+    "pelvis", "l_hip", "r_hip", "spine1", "l_knee", "r_knee", "spine2",
+    "l_ankle", "r_ankle", "spine3", "l_foot", "r_foot", "neck", "l_collar",
+    "r_collar", "head", "l_shoulder", "r_shoulder", "l_elbow", "r_elbow",
+    "l_wrist", "r_wrist", "l_hand", "r_hand",
+    "nose", "l_eye", "r_eye", "l_ear", "r_ear", "head_top", "jaw", "chest",
+)
+
+_J = {n: i for i, n in enumerate(JOINT_NAMES)}
+
+# Rendered limb segments (index pairs) with their capsule radii in meters.
+HUMANOID_EDGES: Tuple[Tuple[int, int, float], ...] = (
+    (_J["pelvis"], _J["spine1"], 0.07), (_J["spine1"], _J["spine2"], 0.07),
+    (_J["spine2"], _J["spine3"], 0.07), (_J["spine3"], _J["neck"], 0.06),
+    (_J["neck"], _J["head"], 0.04),
+    (_J["pelvis"], _J["l_hip"], 0.06), (_J["pelvis"], _J["r_hip"], 0.06),
+    (_J["l_hip"], _J["l_knee"], 0.055), (_J["r_hip"], _J["r_knee"], 0.055),
+    (_J["l_knee"], _J["l_ankle"], 0.045), (_J["r_knee"], _J["r_ankle"], 0.045),
+    (_J["l_ankle"], _J["l_foot"], 0.035), (_J["r_ankle"], _J["r_foot"], 0.035),
+    (_J["neck"], _J["l_collar"], 0.04), (_J["neck"], _J["r_collar"], 0.04),
+    (_J["l_collar"], _J["l_shoulder"], 0.045), (_J["r_collar"], _J["r_shoulder"], 0.045),
+    (_J["l_shoulder"], _J["l_elbow"], 0.04), (_J["r_shoulder"], _J["r_elbow"], 0.04),
+    (_J["l_elbow"], _J["l_wrist"], 0.035), (_J["r_elbow"], _J["r_wrist"], 0.035),
+    (_J["l_wrist"], _J["l_hand"], 0.03), (_J["r_wrist"], _J["r_hand"], 0.03),
+)
+
+MOTIONS = ("idle", "wave", "squat", "walk")
+
+
+def humanoid_pose(t: float, motion: str = "idle", phase: float = 0.0) -> np.ndarray:
+    """(32, 3) body-local joint positions at cycle position ``t`` in [0, 1).
+
+    Deterministic parametric motion — the ground truth IS the parameter
+    evaluation, no rendering approximation. Motions are chosen to produce
+    visibly distinct relative-pose dynamics (the AR demo's class signal):
+    ``wave`` moves one arm chain, ``squat`` moves the pelvis/knees
+    vertically, ``walk`` counter-swings legs and arms in z.
+    """
+    assert motion in MOTIONS, motion
+    s = np.sin(2 * np.pi * t + phase)
+    j = np.zeros((32, 3), np.float32)
+
+    def put(name, x, y, z):
+        j[_J[name]] = (x, y, z)
+
+    put("pelvis", 0, 0, 0)
+    put("l_hip", 0.09, 0.02, 0); put("r_hip", -0.09, 0.02, 0)
+    put("spine1", 0, -0.12, 0); put("spine2", 0, -0.24, 0)
+    put("spine3", 0, -0.34, 0); put("chest", 0, -0.38, -0.02)
+    put("neck", 0, -0.46, 0)
+    put("l_collar", 0.06, -0.42, 0); put("r_collar", -0.06, -0.42, 0)
+    put("head", 0, -0.58, 0); put("head_top", 0, -0.72, 0)
+    put("nose", 0, -0.64, -0.09); put("jaw", 0, -0.56, -0.06)
+    put("l_eye", 0.04, -0.66, -0.07); put("r_eye", -0.04, -0.66, -0.07)
+    put("l_ear", 0.08, -0.62, 0); put("r_ear", -0.08, -0.62, 0)
+    put("l_shoulder", 0.20, -0.42, 0); put("r_shoulder", -0.20, -0.42, 0)
+    # arms hanging by default
+    put("l_elbow", 0.24, -0.15, 0); put("r_elbow", -0.24, -0.15, 0)
+    put("l_wrist", 0.26, 0.09, 0); put("r_wrist", -0.26, 0.09, 0)
+    put("l_hand", 0.27, 0.17, 0); put("r_hand", -0.27, 0.17, 0)
+    # legs straight by default
+    put("l_knee", 0.10, 0.42, 0); put("r_knee", -0.10, 0.42, 0)
+    put("l_ankle", 0.10, 0.82, 0); put("r_ankle", -0.10, 0.82, 0)
+    put("l_foot", 0.10, 0.88, -0.10); put("r_foot", -0.10, 0.88, -0.10)
+
+    if motion == "wave":
+        # right arm raised, forearm oscillating about the elbow
+        sh = j[_J["r_shoulder"]]
+        j[_J["r_elbow"]] = sh + (-0.26, -0.06, 0)
+        ang = 0.9 + 0.5 * s  # rad from vertical
+        fore = 0.26 * np.asarray([-np.sin(ang), -np.cos(ang), 0.0])
+        j[_J["r_wrist"]] = j[_J["r_elbow"]] + fore
+        j[_J["r_hand"]] = j[_J["r_elbow"]] + fore * 1.3
+    elif motion == "squat":
+        drop = 0.14 * (1 + s)  # 0 .. 0.28 m vertical drop
+        upper = [i for i in range(32) if i not in
+                 (_J["l_knee"], _J["r_knee"], _J["l_ankle"], _J["r_ankle"],
+                  _J["l_foot"], _J["r_foot"])]
+        j[upper, 1] += drop
+        for knee in ("l_knee", "r_knee"):
+            j[_J[knee], 1] += 0.4 * drop
+            j[_J[knee], 2] -= 0.6 * drop  # knees come forward (toward camera)
+    elif motion == "walk":
+        swing = 0.22 * s
+        for side, sign in (("l", 1.0), ("r", -1.0)):
+            j[_J[f"{side}_knee"], 2] += 0.5 * sign * swing
+            for p in ("ankle", "foot"):
+                j[_J[f"{side}_{p}"], 2] += sign * swing
+            # arms counter-swing
+            for p in ("elbow",):
+                j[_J[f"{side}_{p}"], 2] += -0.4 * sign * swing
+            for p in ("wrist", "hand"):
+                j[_J[f"{side}_{p}"], 2] += -0.8 * sign * swing
+    elif motion == "idle":
+        j[:, 0] += 0.01 * s  # breathing sway
+
+    return j
+
+
+# per-joint drawn radius (meters) for the exact bbox of the rendering
+_JOINT_RADIUS = np.full(32, 0.05, np.float32)
+for _a, _b, _r in HUMANOID_EDGES:
+    _JOINT_RADIUS[_a] = max(_JOINT_RADIUS[_a], _r)
+    _JOINT_RADIUS[_b] = max(_JOINT_RADIUS[_b], _r)
+_HEAD_R = 0.11
+for _n in ("head", "head_top", "nose", "jaw", "l_eye", "r_eye", "l_ear", "r_ear"):
+    _JOINT_RADIUS[_J[_n]] = _HEAD_R
+
+
+def place_in_camera(local: np.ndarray, center: Sequence[float], yaw: float = 0.0) -> np.ndarray:
+    """Rotate the body about the vertical (y) axis by ``yaw`` and translate
+    its pelvis to camera-space ``center`` (meters)."""
+    c, s = np.cos(yaw), np.sin(yaw)
+    rot_y = np.asarray([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+    return local @ rot_y.T + np.asarray(center, np.float32)
+
+
+def render_humanoid_scene(
+    joints_cam: np.ndarray,
+    intrinsics: CameraIntrinsics,
+    frame_hw: Tuple[int, int] = (240, 320),
+    rng: Optional[np.random.Generator] = None,
+    n_distractors: int = 3,
+    person: bool = True,
+) -> Tuple[np.ndarray, Dict[str, np.ndarray]]:
+    """Render the humanoid and return EXACT ground truth.
+
+    joints_cam: (32, 3) camera-space joints (meters). Returns
+    (frame uint8 BGR, {"bbox": (4,) x1y1x2y2 pixels, "joints2d": (32, 2)
+    pixels, "joints3d": (32, 3) camera-space}). The bbox is the projected
+    silhouette extent: every joint's projection expanded by its drawn
+    capsule radius (exact for this renderer).
+    """
+    import cv2
+
+    rng = rng or np.random.default_rng(0)
+    h, w = frame_hw
+    k = intrinsics.matrix()
+    f = float(k[0, 0])
+
+    # cluttered background: noise + gradient + distractor shapes
+    frame = rng.integers(20, 90, (h, w, 3)).astype(np.uint8)
+    grad = np.linspace(0, rng.integers(20, 70), w, dtype=np.int32)
+    frame = np.clip(frame.astype(np.int32) + grad[None, :, None], 0, 255).astype(np.uint8)
+    for _ in range(n_distractors):
+        color = tuple(int(v) for v in rng.integers(40, 220, 3))
+        x0, y0 = int(rng.integers(0, w)), int(rng.integers(0, h))
+        if rng.random() < 0.5:
+            cv2.rectangle(frame, (x0, y0),
+                          (x0 + int(rng.integers(8, w // 4)), y0 + int(rng.integers(8, h // 4))),
+                          color, -1)
+        else:
+            cv2.circle(frame, (x0, y0), int(rng.integers(4, h // 6)), color, -1)
+
+    proj = joints_cam @ k.T
+    j2d = (proj[:, :2] / proj[:, 2:3]).astype(np.float32)  # (32, 2) pixels
+
+    if not person:
+        return frame, {
+            "bbox": np.zeros(4, np.float32),
+            "joints2d": j2d,
+            "joints3d": joints_cam.astype(np.float32),
+        }
+
+    # per-sample "clothing": top / bottom / skin colors
+    top = tuple(int(v) for v in rng.integers(60, 255, 3))
+    bottom = tuple(int(v) for v in rng.integers(60, 255, 3))
+    skin = tuple(int(v) for v in rng.integers(120, 230, 3))
+
+    z = joints_cam[:, 2]
+    px_r = _JOINT_RADIUS * f / np.maximum(z, 0.2)  # drawn radius per joint, px
+
+    def color_for(a, b):
+        upper = {_J[n] for n in ("pelvis", "spine1", "spine2", "spine3", "neck",
+                                 "chest", "l_collar", "r_collar", "l_shoulder",
+                                 "r_shoulder", "l_elbow", "r_elbow")}
+        lower = {_J[n] for n in ("l_hip", "r_hip", "l_knee", "r_knee",
+                                 "l_ankle", "r_ankle", "l_foot", "r_foot")}
+        if a in lower or b in lower:
+            return bottom
+        if a in upper and b in upper:
+            return top
+        return skin
+
+    # torso quad first (shoulders + hips), then limbs far-to-near
+    torso = np.asarray([j2d[_J["l_shoulder"]], j2d[_J["r_shoulder"]],
+                        j2d[_J["r_hip"]], j2d[_J["l_hip"]]], np.int32)
+    cv2.fillConvexPoly(frame, torso, top)
+    order = np.argsort([-0.5 * (z[a] + z[b]) for a, b, _ in HUMANOID_EDGES])
+    for idx in order:
+        a, b, r = HUMANOID_EDGES[idx]
+        t = max(1, int(r * f / max(0.5 * (z[a] + z[b]), 0.2)))
+        cv2.line(frame, tuple(j2d[a].astype(int)), tuple(j2d[b].astype(int)),
+                 color_for(a, b), 2 * t)
+    head_px = int(_HEAD_R * f / max(z[_J["head"]], 0.2))
+    cv2.circle(frame, tuple(j2d[_J["head"]].astype(int)), head_px, skin, -1)
+    for eye in ("l_eye", "r_eye"):
+        cv2.circle(frame, tuple(j2d[_J[eye]].astype(int)),
+                   max(1, head_px // 5), (30, 30, 30), -1)
+
+    lo = (j2d - px_r[:, None]).min(axis=0)
+    hi = (j2d + px_r[:, None]).max(axis=0)
+    bbox = np.asarray([lo[0], lo[1], hi[0], hi[1]], np.float32)
+    return frame, {
+        "bbox": bbox,
+        "joints2d": j2d,
+        "joints3d": joints_cam.astype(np.float32),
+    }
+
+
+class SyntheticHumanSampler:
+    """Random scenes: motion x phase x placement x yaw x depth."""
+
+    def __init__(self, frame_hw: Tuple[int, int] = (240, 320),
+                 intrinsics: Optional[CameraIntrinsics] = None, seed: int = 0,
+                 z_range: Tuple[float, float] = (1.8, 3.6)):
+        self.frame_hw = frame_hw
+        self.intrinsics = intrinsics or CameraIntrinsics()
+        self.rng = np.random.default_rng(seed)
+        self.z_range = z_range
+
+    def sample(self, motion: Optional[str] = None, person: bool = True,
+               t: Optional[float] = None, center=None, yaw: Optional[float] = None):
+        """Returns (frame, gt). The body is placed so its full vertical
+        extent projects inside the frame."""
+        rng = self.rng
+        motion = motion or MOTIONS[rng.integers(len(MOTIONS))]
+        t = float(rng.random()) if t is None else t
+        local = humanoid_pose(t, motion, phase=float(rng.uniform(0, 2 * np.pi)))
+        h, w = self.frame_hw
+        k = self.intrinsics.matrix()
+        f = float(k[0, 0])
+        z = float(rng.uniform(*self.z_range))
+        if center is None:
+            # keep the projected body inside the frame: the body spans
+            # y in [-0.75, 0.95] around the pelvis, x in +-0.45
+            y_span = 0.95 * f / z
+            x_span = 0.50 * f / z
+            cx = rng.uniform(x_span, w - x_span) if w > 2 * x_span else w / 2
+            lo_y, hi_y = 0.85 * y_span, h - 1.1 * y_span
+            cy = rng.uniform(lo_y, hi_y) if hi_y > lo_y else h / 2
+            center = ((cx - k[0, 2]) / f * z, (cy - k[1, 2]) / f * z, z)
+        yaw = float(rng.uniform(-0.7, 0.7)) if yaw is None else yaw
+        joints = place_in_camera(local, center, yaw)
+        frame, gt = render_humanoid_scene(
+            joints, self.intrinsics, self.frame_hw, rng, person=person
+        )
+        gt["motion"] = motion
+        return frame, gt
+
+
+def render_motion_clip(
+    motion: str,
+    n_frames: int = 16,
+    frame_hw: Tuple[int, int] = (240, 320),
+    intrinsics: Optional[CameraIntrinsics] = None,
+    center=(0.0, 0.2, 2.5),
+    yaw: float = 0.0,
+    cycles: float = 1.5,
+    seed: int = 0,
+    phase: float = 0.0,
+):
+    """A moving-humanoid clip: ``n_frames`` of one motion cycle(s).
+
+    Returns (frames [(H, W, 3) uint8 BGR], gts [dict]) — the AR demo's
+    acquisition source (reference main.py:243-319 captures the same thing
+    from a camera)."""
+    intrinsics = intrinsics or CameraIntrinsics()
+    rng = np.random.default_rng(seed)
+    frames, gts = [], []
+    for i in range(n_frames):
+        t = cycles * i / n_frames
+        joints = place_in_camera(humanoid_pose(t, motion, phase=phase), center, yaw)
+        frame, gt = render_humanoid_scene(joints, intrinsics, frame_hw, rng)
+        gt["motion"] = motion
+        frames.append(frame)
+        gts.append(gt)
+    return frames, gts
+
+
+# ------------------------------------------------------------- YOLO trainer
+
+
+def yolo_person_loss(boxes, confs, gt_box, has_person,
+                     pos_iou: float = 0.35, neg_iou: float = 0.3):
+    """Single image, <=1 GT person. boxes (n, 1, 4)/(n, 4) normalized;
+    confs (n, 80); gt_box (4,) normalized x1y1x2y2; has_person () bool.
+
+    Every anchor above ``pos_iou`` (plus the best) is positive — the live
+    picker is argmax-SCORE (ops/nms.py best_person_box), so any anchor
+    allowed to score high must carry a trained box (the gazefocus rule,
+    train/gazefocus.py blazeface_loss). The FULL class vector is supervised:
+    ``best_person_box`` requires class 0 to be the per-anchor argmax, so
+    classes 1..79 are pushed to 0 everywhere.
+    """
+    boxes = boxes.reshape(-1, 4)
+    confs = confs.reshape(boxes.shape[0], -1)
+    person = confs[:, 0]
+    n = boxes.shape[0]
+
+    iou = pairwise_iou(boxes, gt_box[None])[:, 0]  # (n,)
+    best = jnp.argmax(iou)
+    pos_mask = jnp.logical_or(
+        iou >= pos_iou, jnp.zeros(n, bool).at[best].set(True)
+    )
+    pos_mask = jnp.logical_and(pos_mask, has_person)
+    neg_mask = jnp.logical_and(iou < neg_iou, jnp.logical_not(pos_mask))
+    neg_mask = jnp.logical_or(neg_mask, jnp.logical_not(has_person))
+    n_pos = jnp.maximum(jnp.sum(pos_mask), 1.0)
+
+    p = jnp.clip(person, 1e-6, 1 - 1e-6)
+    score_loss = -(
+        jnp.sum(jnp.log(p) * pos_mask) / n_pos
+        + jnp.sum(jnp.log(1 - p) * neg_mask) / jnp.maximum(jnp.sum(neg_mask), 1.0)
+    )
+
+    other = jnp.clip(confs[:, 1:], 1e-6, 1.0)
+    other_loss = -jnp.mean(jnp.log(1 - other + 1e-6))
+
+    def smooth_l1(x):
+        a = jnp.abs(x)
+        return jnp.where(a < 1.0, 0.5 * a * a, a - 0.5)
+
+    box_loss = jnp.sum(smooth_l1(boxes - gt_box[None]).sum(-1) * pos_mask) / n_pos
+    total = score_loss + 5.0 * box_loss + 0.5 * other_loss
+    return total, {"score_loss": score_loss, "box_loss": box_loss,
+                   "other_cls_loss": other_loss}
+
+
+class YoloTrainer:
+    """Person-detection trainer for the YOLOv4 contract.
+
+    batch: {"image": (b, S, S, 3) RGB float in [0,1] (the yolo_preprocess
+    distribution — INTER_AREA-resized full frames), "bbox": (b, 4)
+    normalized x1y1x2y2, "has_person": (b,) bool}.
+    """
+
+    def __init__(self, width: float = 1.0, input_size: int = 256, seed: int = 0,
+                 lr: float = 3e-4, dtype=jnp.float32):
+        self.net = YOLOv4(width=width, dtype=dtype)
+        self.input_size = input_size
+        variables = jax.jit(
+            lambda k: self.net.init(k, jnp.zeros((1, input_size, input_size, 3)))
+        )(jax.random.key(seed))
+        self.params = variables["params"]
+        self.batch_stats = variables["batch_stats"]
+        self.optimizer = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(lr))
+        self.opt_state = self.optimizer.init(self.params)
+
+        # train=True + mutable batch_stats (the gazefocus trainers' rule:
+        # BN on frozen init statistics never normalizes and learning stalls)
+        def loss_fn(params, batch_stats, batch):
+            (boxes, confs), new_state = self.net.apply(
+                {"params": params, "batch_stats": batch_stats},
+                batch["image"], train=True, mutable=["batch_stats"],
+            )
+            losses, aux = jax.vmap(yolo_person_loss)(
+                boxes, confs, batch["bbox"], batch["has_person"]
+            )
+            return jnp.mean(losses), (jax.tree.map(jnp.mean, aux), new_state["batch_stats"])
+
+        def step(params, batch_stats, opt_state, batch):
+            (loss, (aux, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params, batch_stats, batch)
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), new_stats, opt_state, loss, aux
+
+        self._step = jax.jit(step, donate_argnums=(0, 1, 2))
+
+    @property
+    def variables(self):
+        return {"params": self.params, "batch_stats": self.batch_stats}
+
+    def train_step(self, batch) -> float:
+        batch = jax.tree.map(jnp.asarray, batch)
+        self.params, self.batch_stats, self.opt_state, loss, _ = self._step(
+            self.params, self.batch_stats, self.opt_state, batch
+        )
+        return float(loss)
+
+
+# ---------------------------------------------------------- heatmap trainer
+
+
+class HeatmapTrainer:
+    """EffNetV2 + MetrabsHead through the live crop chain.
+
+    Replicates hpe/estimator.py:173-216 in the TRAINING graph: virtual
+    camera from a (jittered) person box, homography warp to the crop,
+    backbone, head, soft-argmax decode — then supervises the decodes
+    against exact projections:
+
+    - pred2d vs the GT joints projected through the virtual camera
+      (crop-pixel coords, normalized by crop size in the loss),
+    - pred3d vs ``(X_crop - centroid)/BOX_SIZE_M + 0.5`` (the [0,1]^3
+      heatmap box; see module docstring for why this reconstructs to true
+      metric poses).
+
+    batch: {"frame": (b, H, W, 3) uint8, "box_px": (b, 4) pixel x1y1x2y2
+    (jittered detector-like boxes), "joints3d": (b, 32, 3) camera-space}.
+    """
+
+    def __init__(self, intrinsics: CameraIntrinsics, crop_size: int = 256,
+                 stages: Sequence = V2_TINY, seed: int = 0, lr: float = 1e-3,
+                 dtype=jnp.float32, w3d: float = 1.0):
+        self.bbone = EfficientNetV2(stages=stages, dtype=dtype)
+        self.head = MetrabsHead()
+        self.crop_size = crop_size
+        self.k_matrix = jnp.asarray(intrinsics.matrix())
+
+        c = crop_size
+
+        @jax.jit
+        def init(key):
+            k1, k2 = jax.random.split(key)
+            bb = self.bbone.init(k1, jnp.zeros((1, c, c, 3)))
+            feat = self.bbone.apply(bb, jnp.zeros((1, c, c, 3)))
+            hd = self.head.init(k2, feat)
+            return bb, hd
+
+        bb_vars, hd_vars = init(jax.random.key(seed))
+        self.params = {"bbone": bb_vars["params"], "head": hd_vars["params"]}
+        self.batch_stats = bb_vars["batch_stats"]
+        self.optimizer = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(lr))
+        self.opt_state = self.optimizer.init(self.params)
+
+        def crop_and_targets(frame, box_px, joints3d):
+            x1, y1, x2, y2 = box_px[0], box_px[1], box_px[2], box_px[3]
+            new_k, rot = virtual_camera(x1, x2, y1, y2, self.k_matrix, c)
+            h_mat = warp_matrix(self.k_matrix, new_k[None], rot)
+            crop = warp_image(jnp.round(frame).astype(jnp.int32), h_mat, c)[0]
+            # original camera -> crop camera: X_crop = X @ rot^T
+            # (the estimator de-rotates with `mm(pred3d, rot)`, :214)
+            x_crop = mm(joints3d[None], jnp.swapaxes(rot, 1, 2))[0]  # (32, 3)
+            uv = project(x_crop)  # (32, 2) normalized image plane
+            gt2d = uv * jnp.asarray([new_k[0, 0], new_k[1, 1]]) + jnp.asarray(
+                [new_k[0, 2], new_k[1, 2]]
+            )
+            centroid = jnp.mean(x_crop, axis=0, keepdims=True)
+            gt3d = (x_crop - centroid) / BOX_SIZE_M + 0.5
+            return crop, gt2d, gt3d
+
+        def loss_fn(params, batch_stats, batch):
+            crops, gt2d, gt3d = jax.vmap(crop_and_targets)(
+                batch["frame"], batch["box_px"], batch["joints3d"]
+            )
+            bbone_in = crops.astype(jnp.float32) / 255.0
+            feats, new_state = self.bbone.apply(
+                {"params": params["bbone"], "batch_stats": batch_stats},
+                bbone_in, train=True, mutable=["batch_stats"],
+            )
+            logits = self.head.apply({"params": params["head"]}, feats)
+            l2d, l3d = split_head_logits(logits)
+            pred3d = decode_heatmap3d(l3d)
+            pred2d = decode_heatmap2d(l2d, scale=float(c - 1))
+
+            def smooth_l1(x, beta=0.05):
+                a = jnp.abs(x)
+                return jnp.where(a < beta, 0.5 * a * a / beta, a - 0.5 * beta)
+
+            loss2d = jnp.mean(smooth_l1((pred2d - gt2d) / c))
+            loss3d = jnp.mean(smooth_l1(pred3d - gt3d))
+            loss = loss2d + w3d * loss3d
+            return loss, ({"loss2d": loss2d, "loss3d": loss3d},
+                          new_state["batch_stats"])
+
+        def step(params, batch_stats, opt_state, batch):
+            (loss, (aux, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params, batch_stats, batch)
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), new_stats, opt_state, loss, aux
+
+        self._step = jax.jit(step, donate_argnums=(0, 1, 2))
+
+    @property
+    def variables(self):
+        """{"bbone": full vars, "head": {"params": ...}} — the estimator's
+        params["bbone"]/params["head"] slots."""
+        return {
+            "bbone": {"params": self.params["bbone"], "batch_stats": self.batch_stats},
+            "head": {"params": self.params["head"]},
+        }
+
+    def train_step(self, batch) -> float:
+        batch = jax.tree.map(jnp.asarray, batch)
+        self.params, self.batch_stats, self.opt_state, loss, _ = self._step(
+            self.params, self.batch_stats, self.opt_state, batch
+        )
+        return float(loss)
+
+
+# -------------------------------------------------------------- end-to-end
+
+
+def train_pose_params(
+    frame_hw: Tuple[int, int] = (240, 320),
+    intrinsics: Optional[CameraIntrinsics] = None,
+    n_steps_det: int = 300,
+    n_steps_pose: int = 300,
+    batch_size: int = 8,
+    yolo_width: float = 0.25,
+    yolo_input_size: int = 128,
+    crop_size: int = 128,
+    stages: Sequence = V2_TINY,
+    seed: int = 0,
+    lr_det: float = 1e-3,
+    lr_pose: float = 1e-3,
+    box_jitter: float = 0.08,
+    empty_frac: float = 0.12,
+    log_every: int = 0,
+) -> Dict:
+    """Train YOLOv4 + EffNetV2 + MetrabsHead on synthetic humanoid scenes
+    and return the params dict ``HumanPoseEstimator(params=...)`` consumes.
+
+    The defaults are the CI budget (slim width-0.25 YOLO at 128 px, V2_TINY
+    at a 128 crop); production sizes are the same call with
+    ``yolo_width=1.0, yolo_input_size=256, crop_size=256, stages=V2_L``.
+    ``box_jitter`` feeds the heatmap phase detector-like box noise so the
+    crop chain is robust to the live detector's localization error.
+    """
+    import cv2
+
+    intrinsics = intrinsics or CameraIntrinsics()
+    h, w = frame_hw
+    norm = np.asarray([w, h, w, h], np.float32)
+
+    det_sampler = SyntheticHumanSampler(frame_hw, intrinsics, seed=seed)
+    det = YoloTrainer(width=yolo_width, input_size=yolo_input_size,
+                      seed=seed, lr=lr_det)
+    for step in range(n_steps_det):
+        imgs, boxes, flags = [], [], []
+        for _ in range(batch_size):
+            person = det_sampler.rng.random() >= empty_frac
+            frame, gt = det_sampler.sample(person=person)
+            # the estimator resizes with exact INTER_AREA (ops/image.py
+            # resize_area == cv2.INTER_AREA) — train on that distribution
+            small = cv2.resize(frame, (yolo_input_size, yolo_input_size),
+                               interpolation=cv2.INTER_AREA)
+            imgs.append(small[..., ::-1] / 255.0)
+            boxes.append(gt["bbox"] / norm)
+            flags.append(person)
+        loss = det.train_step({
+            "image": np.asarray(imgs, np.float32),
+            "bbox": np.stack(boxes),
+            "has_person": np.asarray(flags),
+        })
+        if log_every and step % log_every == 0:
+            print(f"[posestack:det] step {step} loss {loss:.4f}", flush=True)
+
+    # independent sampler: decouples the pose phase's data stream from
+    # n_steps_det (the gazefocus budget-decoupling rule)
+    pose_sampler = SyntheticHumanSampler(frame_hw, intrinsics, seed=seed + 1)
+    pose = HeatmapTrainer(intrinsics, crop_size=crop_size, stages=stages,
+                          seed=seed, lr=lr_pose)
+    for step in range(n_steps_pose):
+        frames, boxes, joints = [], [], []
+        for _ in range(batch_size):
+            frame, gt = pose_sampler.sample()
+            b = gt["bbox"]
+            bw, bh = b[2] - b[0], b[3] - b[1]
+            jit = pose_sampler.rng.normal(0, box_jitter, 4) * np.asarray(
+                [bw, bh, bw, bh]
+            )
+            frames.append(frame)
+            boxes.append((b + jit).astype(np.float32))
+            joints.append(gt["joints3d"])
+        loss = pose.train_step({
+            "frame": np.asarray(frames, np.uint8),
+            "box_px": np.stack(boxes),
+            "joints3d": np.stack(joints),
+        })
+        if log_every and step % log_every == 0:
+            print(f"[posestack:pose] step {step} loss {loss:.4f}", flush=True)
+
+    return {"yolo": det.variables, **pose.variables}

@@ -1,0 +1,75 @@
+"""Train the pose stack (YOLOv4 + EffNetV2 + MetrabsHead) on synthetic
+humanoid supervision and save the ``HumanPoseEstimator(params=...)`` tree.
+
+CI sizes (default — the tests' budget):
+    python tools/train_posestack.py --out /tmp/pose_ci.msgpack
+
+Production sizes on the TPU (the receipt run: full-width YOLOv4, V2-L
+backbone, 256 crops — the architecture the reference deploys):
+    python tools/train_posestack.py --production --steps-det 300 \
+        --steps-pose 300 --batch 8 --out /tmp/pose_prod.msgpack
+
+With real datasets (COCO-person, 3D mocap) the same trainers apply — this
+CLI is the synthetic-supervision route (see train/posestack.py docstring).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--out", required=True, help=".msgpack output path")
+    parser.add_argument("--production", action="store_true",
+                        help="full-size nets (YOLOv4 width 1.0 @256, "
+                             "EffNetV2-L @256) on 480x640 frames")
+    parser.add_argument("--steps-det", type=int, default=700)
+    parser.add_argument("--steps-pose", type=int, default=700)
+    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--log-every", type=int, default=20)
+    args = parser.parse_args()
+
+    import jax
+    import numpy as np
+    from flax import serialization
+
+    from isbfsar_tpu.configs import CameraIntrinsics
+    from isbfsar_tpu.train.posestack import train_pose_params
+    from isbfsar_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
+    if args.production:
+        from isbfsar_tpu.models.effnetv2 import V2_L
+
+        kw = dict(
+            frame_hw=(480, 640), intrinsics=CameraIntrinsics(),
+            yolo_width=1.0, yolo_input_size=256, crop_size=256, stages=V2_L,
+        )
+    else:
+        from isbfsar_tpu.models.effnetv2 import V2_TINY
+
+        kw = dict(
+            frame_hw=(240, 320),
+            intrinsics=CameraIntrinsics(fx=192.0, fy=192.0, ppx=160.0,
+                                        ppy=120.0, width=320, height=240),
+            yolo_width=0.25, yolo_input_size=128, crop_size=128, stages=V2_TINY,
+        )
+
+    t0 = time.time()
+    params = train_pose_params(
+        n_steps_det=args.steps_det, n_steps_pose=args.steps_pose,
+        batch_size=args.batch, seed=args.seed, log_every=args.log_every,
+        **kw,
+    )
+    print(f"[train_posestack] trained in {time.time() - t0:.0f}s")
+    with open(args.out, "wb") as f:
+        f.write(serialization.msgpack_serialize(jax.tree.map(np.asarray, params)))
+    print(f"[train_posestack] wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
