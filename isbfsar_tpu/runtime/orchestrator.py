@@ -60,12 +60,23 @@ class Orchestrator:
         save_dir: str = "saved",
         clock=time.time,
         fused=None,
+        fused_overlap: bool = True,
     ):
         """fused: optional FusedPipeline — when given (skeleton mode), the
         frame path runs the single-program fused step (one H2D + one packed
         D2H per frame) instead of the three-dispatch module path; the
         command protocol is unchanged (support-set edits refresh the fused
-        caches)."""
+        caches).
+
+        fused_overlap: double-buffer the fused path (default) — each call
+        dispatches frame i and decodes frame i-1, so the device computes
+        frame i while the host reads frame i-1's packed vector. Semantics
+        of the reference's process-queue overlap (reference main.py:73-77)
+        with exactly one frame of pipeline latency; the first call after
+        start/support-edit returns a priming frame (img + empty actions, no
+        pose) while the pipeline fills, like the reference's empty startup
+        queues. False = synchronous step per frame (lowest latency, ~half
+        the throughput on remote-attached chips — docs/PERF.md)."""
         self.config = config or PipelineConfig()
         self.input_type = self.config.main.input_type
         self.window_size = self.config.main.window_size
@@ -75,6 +86,8 @@ class Orchestrator:
         self.clock = clock
 
         self.fused = fused
+        self.fused_overlap = fused_overlap
+        self._fused_pending = None  # (img, packed token) awaiting decode
         if fused is not None:
             self.hpe, self.focus, self.ar = fused.hpe, fused.focus, fused.ar
             fused.start()
@@ -108,7 +121,23 @@ class Orchestrator:
                 from isbfsar_tpu.ops.image import bgr_to_i420
 
                 frame = bgr_to_i420(img)
-            elements.update(self.fused.decode(self.fused.step(frame)))
+            if not self.fused_overlap:
+                elements.update(self.fused.decode(self.fused.step(frame)))
+                return self._finish_frame(elements, start, log)
+            # Double-buffered dispatch: enqueue frame i, decode frame i-1
+            # while the device computes frame i (reference main.py:73-77's
+            # queue overlap, without the processes). One frame of lag.
+            token = self.fused.dispatch(frame)
+            prev = self._fused_pending
+            self._fused_pending = (img, token)
+            if prev is None:
+                # pipeline priming (the reference's empty startup queues):
+                # emit the elements contract with no detection yet
+                elements.update(actions={}, is_true=0, requires_focus={})
+                return self._finish_frame(elements, start, log)
+            prev_img, prev_token = prev
+            elements["img"] = prev_img
+            elements.update(self.fused.decode(self.fused.fetch(prev_token)))
             return self._finish_frame(elements, start, log)
 
         # fan-out: dispatch both device programs, then join (main.py:73-77).
@@ -154,6 +183,40 @@ class Orchestrator:
 
         return self._finish_frame(elements, start, log)
 
+    def get_frame_batch(self, imgs, log: Optional[str] = None):
+        """Micro-batched fused serve: B frames -> B elements dicts via ONE
+        device round-trip (one H2D put + one packed D2H for the batch).
+
+        The per-frame `get_frame` path pays two relay round-trips per
+        frame (frame put + result get) that no amount of double-buffering
+        can hide — measured 21.6 FPS through the remote-attached chip vs
+        83+ FPS for this path at B=16 (docs/PERF.md round 3). Synchronous:
+        results pair with their inputs; adds up to one batch of latency.
+        Each distinct batch size compiles its own program — pick one B and
+        keep it."""
+        assert self.fused is not None, "get_frame_batch requires fused mode"
+        start = self.clock()
+        frames = imgs
+        if self.fused.input_format == "i420":
+            from isbfsar_tpu.ops.image import bgr_to_i420
+
+            frames = [bgr_to_i420(i) for i in imgs]
+        rows = np.asarray(self.fused.dispatch_batch(np.stack(frames)))
+        per_frame = max((self.clock() - start) / max(len(imgs), 1), 1e-9)
+        out = []
+        for img, row in zip(imgs, rows):
+            elements = {"img": img}
+            elements.update(self.fused.decode(self.fused.layout.unpack(row)))
+            self.fps_window.append(1.0 / per_frame)
+            self.fps_window = self.fps_window[-10:]
+            elements["fps"] = sum(self.fps_window) / len(self.fps_window)
+            if log is not None:
+                elements["log"] = log
+            if self._out_queue is not None:
+                self._out_queue.put(elements)
+            out.append(elements)
+        return out
+
     def _finish_frame(self, elements, start, log):
         # moving-average FPS over the last 10 frames (main.py:127-130)
         elapsed = max(self.clock() - start, 1e-9)
@@ -171,6 +234,10 @@ class Orchestrator:
     def _refresh_support(self) -> None:
         """Rebuild the fused pipeline's cached support K/V after edits."""
         if self.fused is not None:
+            # a pending overlapped frame was matched against the OLD support
+            # set — drop it (stale actions must not surface post-edit); the
+            # next call re-primes the one-frame pipeline
+            self._fused_pending = None
             self.fused.start()
 
     # -------------------------------------------------------------- commands

@@ -39,6 +39,12 @@ def main() -> None:
                         help="fused-path host->device frame format: i420 "
                              "halves the transfer bytes (planar YUV encoded "
                              "host-side, decoded in-graph; docs/PERF.md)")
+    parser.add_argument("--no-overlap", action="store_true",
+                        help="fused path: synchronous per-frame stepping "
+                             "(lowest latency). Default double-buffers: "
+                             "dispatch frame i while decoding frame i-1 — "
+                             "~2x the serve-loop FPS through a remote-"
+                             "attached chip at one frame of added lag")
     args = parser.parse_args()
 
     enable_compile_cache()
@@ -59,7 +65,8 @@ def main() -> None:
         assert args.input_type == "skeleton", "--fused requires skeleton mode"
         fused = FusedPipeline(config, with_focus=True, input_format=args.transport)
     orch = Orchestrator(config, in_queue=in_q, out_queue=out_q,
-                        save_dir=args.save_dir, fused=fused)
+                        save_dir=args.save_dir, fused=fused,
+                        fused_overlap=not args.no_overlap)
     print("[isbfsar-tpu] warming up device programs...")
     if fused is not None:
         fused.warmup()
