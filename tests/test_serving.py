@@ -90,6 +90,66 @@ class TestMultiStream:
         elements = multi.decode(outs[0])
         assert "actions" in elements
 
+    def test_stream_double_buffered_parity(self, multi):
+        """multi.stream (dispatch i / fetch i-1 overlap) must yield exactly
+        the sync step() sequence."""
+        src = SyntheticSource(FRAME_SHAPE[1], FRAME_SHAPE[0])
+        ticks = [np.stack([src.read()[1] for _ in range(8)]) for _ in range(4)]
+
+        multi.start()
+        ref = [multi.step(t) for t in ticks]
+        multi.start()  # reset stream states
+        got = list(multi.stream(iter(ticks)))
+        assert len(got) == len(ref)
+        for g_tick, r_tick in zip(got, ref):
+            for g, r in zip(g_tick, r_tick):
+                np.testing.assert_allclose(g["pose"], r["pose"], rtol=1e-5, atol=1e-6)
+                np.testing.assert_allclose(g["probs"], r["probs"], rtol=1e-5, atol=1e-6)
+
+    def test_stream_batched_parity(self, multi):
+        """Per-stream micro-batching (one round-trip per S x B block) must
+        yield the same per-tick outputs, including the partial tail."""
+        src = SyntheticSource(FRAME_SHAPE[1], FRAME_SHAPE[0])
+        ticks = [np.stack([src.read()[1] for _ in range(8)]) for _ in range(5)]
+
+        multi.start()
+        ref = [multi.step(t) for t in ticks]
+        multi.start()
+        got = list(multi.stream_batched(iter(ticks), batch_size=2))
+        assert len(got) == len(ref)  # 2 full blocks + 1 tail tick
+        for g_tick, r_tick in zip(got, ref):
+            for g, r in zip(g_tick, r_tick):
+                np.testing.assert_allclose(g["pose"], r["pose"], rtol=1e-5, atol=1e-6)
+                np.testing.assert_allclose(g["probs"], r["probs"], rtol=1e-5, atol=1e-6)
+
+    def test_refresh_support_propagates_edits(self, multi):
+        """A post-start support edit reaches the device shards only via
+        refresh_support() (ADVICE r2: start() snapshots once)."""
+        rng = np.random.default_rng(7)
+        src = SyntheticSource(FRAME_SHAPE[1], FRAME_SHAPE[0])
+        frames = np.stack([src.read()[1]] * 8)
+
+        before_mask = np.asarray(multi._support_mask).copy()
+        before_kv = np.asarray(multi._support_kv[0]).copy()
+        multi.pipe.ar.train({
+            "flag": "late_class",
+            "data": {"poses": rng.normal(
+                size=(multi.pipe.config.ar.seq_len, 90)).astype(np.float32)},
+            "requires_focus": False,
+        })
+        # The support K/V the match actually consumes is NOT updated by the
+        # edit alone (start() snapshots it — the ADVICE r2 finding). The
+        # mask itself may alias the recognizer's numpy buffer on CPU
+        # (zero-copy jnp.asarray), so the lazy-KV cache is the assertable
+        # part of the gap.
+        np.testing.assert_allclose(np.asarray(multi._support_kv[0]), before_kv)
+        multi.refresh_support()
+        assert np.asarray(multi._support_mask).sum() == before_mask.sum() + 1
+        # the K/V cache the match consumes changed too (new class slot)
+        assert np.abs(np.asarray(multi._support_kv[0]) - before_kv).max() > 1e-6
+        outs = multi.step(frames)  # still serves after the refresh
+        assert len(outs) == 8
+
 
 class TestComposedMesh:
     def test_streams_x_way_composition(self):
