@@ -1,10 +1,24 @@
-"""Shared persistent-compile-cache setup for service/bench entry points."""
+"""Shared persistent caches: XLA compile cache + trained-params cache.
+
+Two caches with the same goal (pay a long one-time cost once per machine,
+not once per run):
+
+- :func:`enable_compile_cache` — persistent XLA executable cache.
+- :func:`cached_params` — train-once parameter cache for synthetic-
+  supervision fixtures (train/gazefocus.py, train/posestack.py): training a
+  CI-budget net takes minutes; its trained params are a pure function of the
+  trainer config, so serialize them keyed on that config and re-train only
+  when the config (or a version tag bumped on trainer-code changes) moves.
+"""
 
 from __future__ import annotations
 
+import hashlib
 import os
+from typing import Any, Callable
 
 DEFAULT_CACHE_DIR = "/tmp/isbfsar_jax_cache"
+DEFAULT_PARAMS_CACHE_DIR = "/tmp/isbfsar_params_cache"
 
 
 def enable_compile_cache(cache_dir: str = "") -> None:
@@ -22,3 +36,41 @@ def enable_compile_cache(cache_dir: str = "") -> None:
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+def cached_params(key: str, builder: Callable[[], Any], version: str = "1",
+                  cache_dir: str = "") -> Any:
+    """Return ``builder()``'s params pytree, cached on disk keyed by ``key``.
+
+    ``key`` must capture everything the trained result depends on (trainer
+    config repr + budgets + seeds); bump ``version`` when trainer CODE
+    changes invalidate old fits. Cache dir: ``ISBFSAR_PARAMS_CACHE`` env var
+    or /tmp/isbfsar_params_cache. Corrupt/unreadable entries fall back to a
+    fresh ``builder()`` run (and overwrite the entry).
+
+    Restored trees are plain dicts of numpy arrays — the same shape the
+    trainers return, so ``Model(params=...)`` consumers are unaffected.
+    """
+    import jax
+    import numpy as np
+    from flax import serialization
+
+    cache_dir = cache_dir or os.environ.get(
+        "ISBFSAR_PARAMS_CACHE", DEFAULT_PARAMS_CACHE_DIR
+    )
+    digest = hashlib.sha256(f"v{version}:{key}".encode()).hexdigest()[:24]
+    path = os.path.join(cache_dir, f"{digest}.msgpack")
+    if os.path.exists(path):
+        try:
+            with open(path, "rb") as f:
+                return serialization.msgpack_restore(f.read())
+        except Exception:
+            pass  # corrupt entry: retrain below and overwrite
+
+    params = jax.tree.map(np.asarray, builder())
+    os.makedirs(cache_dir, exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(serialization.msgpack_serialize(params))
+    os.replace(tmp, path)  # atomic: concurrent runs never see partial files
+    return params

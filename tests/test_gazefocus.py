@@ -81,9 +81,17 @@ def trained_params():
     #   frame error, so the far branch's 0.3 rad threshold needs <4 px —
     #   600 steps gives ~2 px frame error and real margin.
     # - gaze 150: at/away z-separation ~0.2 on the crop distribution.
-    return train_focus_params(
-        CFG, n_steps_det=150, n_steps_gaze=150, n_steps_lm=600, batch_size=6,
-        lr_det=1e-3, lr_gaze=5e-4,
+    # Train-once cache (utils/cache.py): the params are a pure function of
+    # this budget tuple, so warm suites skip the ~9 min fit entirely. Bump
+    # the version tag if train/gazefocus.py's training code changes.
+    from isbfsar_tpu.utils.cache import cached_params
+
+    budgets = dict(n_steps_det=150, n_steps_gaze=150, n_steps_lm=600,
+                   batch_size=6, lr_det=1e-3, lr_gaze=5e-4)
+    return cached_params(
+        f"gazefocus:{CFG!r}:{sorted(budgets.items())!r}",
+        lambda: train_focus_params(CFG, **budgets),
+        version="1",
     )
 
 
