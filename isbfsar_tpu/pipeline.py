@@ -128,6 +128,30 @@ class FusedPipeline:
                 "pallas_input=True requires input_format='i420' (the kernel "
                 "fuses the I420 decode; there is nothing to fuse for bgr)"
             )
+        if self._pallas_input:
+            # The kernel keeps the whole frame + both outputs resident in
+            # VMEM (~16 MB/core on v5e); past ~480p it would only fail at
+            # TPU compile time with an opaque Mosaic error — fail here with
+            # the budget instead (ADVICE r2). Dominant residents: f32 BGR
+            # frame + u8 YUV in + f32 YOLO out + resize/upsample weights.
+            h, w = cam_shape
+            s = self.config.hpe.yolo_input_size
+            vmem_bytes = (
+                h * w * 3 * 4          # f32 BGR planes
+                + h * w * 3 // 2       # u8 I420 input
+                + s * s * 3 * 4        # f32 YOLO input out
+                + (s * h + s * w + w * w // 2) * 4  # wr, wct, chroma-upsample
+            )
+            budget = 14 * 2**20  # leave ~2 MB headroom of the 16 MB core
+            if vmem_bytes > budget:
+                raise ValueError(
+                    f"pallas_input=True needs the full frame resident in "
+                    f"VMEM: {h}x{w} needs ~{vmem_bytes / 2**20:.1f} MB > "
+                    f"{budget / 2**20:.0f} MB budget (16 MB/core minus "
+                    f"headroom). Use the composed XLA path (pallas_input="
+                    f"None/False — it is the measured-faster default anyway, "
+                    f"docs/PERF.md) or a <=480p camera config."
+                )
         # Off-TPU (CPU test meshes) the kernel runs in interpreter mode.
         self._pallas_interpret = jax.default_backend() != "tpu"
 

@@ -88,15 +88,24 @@ def extract_tree(estimator, videos_root: str, out_root: str, n_frames: int = 16,
             continue
         out_class = os.path.join(out_root, class_name)
         os.makedirs(out_class, exist_ok=True)
-        # Resume-by-count (reference extract_skeleton_rgb_from_nturgbd.py:
-        # 57-117 counts existing outputs): every processed video leaves
-        # exactly one entry — a clip dir, or a .skip_<idx> marker for
-        # no-usable-pose videos. Without the marker a skipped clip would
-        # undercount `done` and the tail would re-extract on every resume.
-        done = len(os.listdir(out_class))
+        # Resume-by-index (reference extract_skeleton_rgb_from_nturgbd.py:
+        # 57-117 counts existing outputs): every processed video leaves a
+        # clip dir named <idx>, or a .skip_<idx> marker for no-usable-pose
+        # videos. Count ONLY those entries — a stray file (.DS_Store,
+        # editor artifact) must not inflate the count and silently skip the
+        # tail — and treat a clip dir missing its last expected frame file
+        # (a killed run's partial write) as incomplete so it re-extracts.
+        done_idx = set()
+        for entry in os.listdir(out_class):
+            if entry.startswith(".skip_") and entry[6:].isdigit():
+                done_idx.add(int(entry[6:]))
+            elif entry.isdigit() and os.path.exists(
+                os.path.join(out_class, entry, f"{n_frames - 1}.npy")
+            ):
+                done_idx.add(int(entry))
         videos = sorted(os.listdir(class_dir))
         for idx, vid in enumerate(videos):
-            if idx < done:
+            if idx in done_idx:
                 continue
             result = extract_clip(
                 estimator, os.path.join(class_dir, vid), n_frames, with_images
