@@ -38,6 +38,30 @@ def params():
     return model.init(jax.random.key(0), q, jnp.ones((1, CFG.way), bool), support_data=s)
 
 
+class TestQualitativeRenderer:
+    def test_episode_grid_artifact(self, dataset, params, tmp_path):
+        """A5 completion (reference create_qualitative_draw.py): one grid
+        PNG per episode — support rows + query (pred-vs-true title) +
+        unknown row — rendered headless."""
+        from isbfsar_tpu.train.qualitative import qualitative_episodes
+
+        root, names = dataset
+        records = qualitative_episodes(
+            CFG, params, root, str(tmp_path / "qual"), n_episodes=2, seed=3
+        )
+        assert len(records) == 2
+        for rec in records:
+            import os
+
+            assert os.path.exists(rec["path"])
+            assert os.path.getsize(rec["path"]) > 20_000  # real pixels
+            assert rec["pred"] in names and rec["true"] in names
+            assert rec["probs"].shape == (CFG.way,)
+            np.testing.assert_allclose(rec["probs"].sum(), 1.0, rtol=1e-4)
+            assert 0.0 <= rec["is_true"] <= 1.0
+            assert 0.0 <= rec["is_true_unknown"] <= 1.0
+
+
 class TestEvalHarnesses:
     def test_episodic_test(self, dataset, params):
         root, _ = dataset
