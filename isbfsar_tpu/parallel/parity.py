@@ -26,10 +26,11 @@ def _one_step_params(cfg, mesh, batch, seed: int = 0):
 
     trainer = Trainer(cfg, mesh=mesh, log_dir="/tmp/isbfsar_dryrun", use_wandb=False, seed=seed)
     init = jax.tree.map(np.asarray, trainer.params)
+    init_stats = jax.tree.map(np.asarray, trainer.batch_stats)
     summary = trainer.run_epoch(0, [batch], train=True)
     params = jax.tree.map(np.asarray, trainer.params)
     stats = jax.tree.map(np.asarray, trainer.batch_stats)
-    return params, stats, summary, init
+    return params, stats, summary, (init, init_stats)
 
 
 def dp_parity_check(n_devices: int, atol: float = 2e-6,
@@ -99,7 +100,7 @@ def dp_parity_check(n_devices: int, atol: float = 2e-6,
         "known": np.ones((b,), bool),
     }
 
-    p1, s1, m1, p_init = _one_step_params(cfg, make_mesh(1), batch)
+    p1, s1, m1, (p_init, s_init) = _one_step_params(cfg, make_mesh(1), batch)
     pn, sn, mn, _ = _one_step_params(cfg, make_mesh(n_devices), batch)
 
     def max_diff(a, b):
@@ -120,9 +121,13 @@ def dp_parity_check(n_devices: int, atol: float = 2e-6,
             f"{modality} dp parity ran without BatchNorm stats — the "
             f"certificate would be vacuous (VERDICT r2 weak #1)"
         )
-        # BN means init at 0: after one train step they must have moved,
-        # or the 'parity' compared two untouched trees.
-        moved = max(float(np.abs(np.asarray(x)).max()) for x in stats_leaves)
+        # The stats must have moved OFF THEIR INIT (means 0, vars 1 — so a
+        # plain |stats| > 0 test would pass vacuously on an untouched
+        # tree): compare post-step vs pre-step trees leafwise.
+        moved = max(
+            float(np.abs(np.asarray(a) - np.asarray(b)).max())
+            for a, b in zip(stats_leaves, jax.tree.leaves(s_init))
+        )
         assert moved > 0.0, "BN stats never updated during the parity step"
 
     diff_tree = jax.tree.map(lambda a, b: np.asarray(a) - np.asarray(b), p1, pn)

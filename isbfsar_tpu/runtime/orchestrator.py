@@ -207,29 +207,23 @@ class Orchestrator:
         for img, row in zip(imgs, rows):
             elements = {"img": img}
             elements.update(self.fused.decode(self.fused.layout.unpack(row)))
-            self.fps_window.append(1.0 / per_frame)
-            self.fps_window = self.fps_window[-10:]
-            elements["fps"] = sum(self.fps_window) / len(self.fps_window)
-            if log is not None:
-                elements["log"] = log
-            if self._out_queue is not None:
-                self._out_queue.put(elements)
-            out.append(elements)
+            out.append(self._publish(elements, per_frame, log))
         return out
 
-    def _finish_frame(self, elements, start, log):
-        # moving-average FPS over the last 10 frames (main.py:127-130)
-        elapsed = max(self.clock() - start, 1e-9)
-        self.fps_window.append(1.0 / elapsed)
+    def _publish(self, elements, frame_seconds: float, log):
+        """Shared finishing contract for every frame path: moving-average
+        FPS over the last 10 frames (main.py:127-130), log line, out queue."""
+        self.fps_window.append(1.0 / max(frame_seconds, 1e-9))
         self.fps_window = self.fps_window[-10:]
         elements["fps"] = sum(self.fps_window) / len(self.fps_window)
-
         if log is not None:
             elements["log"] = log
-
         if self._out_queue is not None:
             self._out_queue.put(elements)
         return elements
+
+    def _finish_frame(self, elements, start, log):
+        return self._publish(elements, self.clock() - start, log)
 
     def _refresh_support(self) -> None:
         """Rebuild the fused pipeline's cached support K/V after edits."""

@@ -251,7 +251,13 @@ class GUIVisualizer:
             # run_source loop, so skipping it while rendering is toggled
             # off ('\\') would freeze the window and eat every later
             # keystroke, including the one to re-enable.
-            self._plt.pause(0.001)
+            # flush_events, NOT plt.pause: pause draw_idles the stale
+            # figure, and that full redraw EXCLUDES animated artists —
+            # wiping the blit we just painted (review finding r3).
+            try:
+                self.fig.canvas.flush_events()
+            except NotImplementedError:
+                self._plt.pause(0.001)
 
     def render(self, elements: Dict[str, Any]) -> np.ndarray:
         """Offscreen render -> (h, w, 3) uint8 RGB (for tests / recording)."""
@@ -421,10 +427,18 @@ class GUIVisualizer:
                 # panel's cost ~4x at 480p with no visible difference.
                 bb = self.ax_img.get_window_extent()
                 pw, ph = max(int(bb.width), 16), max(int(bb.height), 16)
-                sx, sy = 1.0, 1.0
+                sx = sy = 1.0
                 if img.shape[1] > pw or img.shape[0] > ph:
-                    sx, sy = pw / img.shape[1], ph / img.shape[0]
-                    img = cv2.resize(img, (pw, ph), interpolation=cv2.INTER_AREA)
+                    # ONE scale factor (fit-inside): stretching to the
+                    # panel box would distort the aspect ratio imshow's
+                    # equal-aspect letterboxing previously preserved
+                    s = min(pw / img.shape[1], ph / img.shape[0])
+                    sx = sy = s
+                    img = cv2.resize(
+                        img,
+                        (max(int(img.shape[1] * s), 1), max(int(img.shape[0] * s), 1)),
+                        interpolation=cv2.INTER_AREA,
+                    )
                 else:
                     img = img.copy()
                 if elements.get("bbox") is not None:

@@ -34,10 +34,11 @@ from isbfsar_tpu.models.trx import TRXOS
 from isbfsar_tpu.train.dataloader import EpisodicSampler
 
 
-def _project(pose: np.ndarray) -> np.ndarray:
-    """(j, 3) camera-frame -> (j, 2) panel coords (GUIVisualizer._project)."""
-    z = pose[:, 2] - np.median(pose[:, 2])
-    return np.stack([pose[:, 0] + 0.35 * z, -pose[:, 1] - 0.18 * z], axis=1)
+# THE projection the live GUI panel uses (one source of truth — the
+# receipts must render the same geometry the operator sees)
+from isbfsar_tpu.runtime.visualizer import GUIVisualizer
+
+_project = GUIVisualizer._project
 
 
 def _draw_clip_row(fig, gs, row: int, clip: np.ndarray, edges, n_cols: int,

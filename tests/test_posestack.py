@@ -182,6 +182,41 @@ class TestTrainedPoseStack:
         assert np.mean(rel_errs) < 0.22, f"rel joint err {np.mean(rel_errs):.3f} m"
         assert np.mean(dist_errs) < 0.8, f"distance err {np.mean(dist_errs):.3f} m"
 
+    def test_dataset_extraction_with_trained_stack(self, estimator, tmp_path):
+        """A7 with a WORKING detector: render motion clips to real .mp4
+        files, run the reference's extraction flow at the 0.3 gate, and get
+        a complete dataset tree (no skips, real varied poses) — the data-
+        production path doing its actual job, not a thresh-0 smoke run."""
+        import cv2
+
+        from tools.extract_dataset import extract_tree
+
+        videos = tmp_path / "videos"
+        for motion in ("wave", "squat"):
+            clip_dir = videos / motion
+            clip_dir.mkdir(parents=True)
+            frames, _ = render_motion_clip(
+                motion, n_frames=20, frame_hw=HW, intrinsics=INTR, seed=31
+            )
+            w = cv2.VideoWriter(
+                str(clip_dir / "0.mp4"), cv2.VideoWriter_fourcc(*"mp4v"),
+                15, (HW[1], HW[0]),
+            )
+            for f in frames:
+                w.write(f)
+            w.release()
+
+        out = tmp_path / "dataset"
+        written = extract_tree(estimator, str(videos), str(out), n_frames=8)
+        assert len(written) == 2, f"extraction skipped clips: {written}"
+        for motion in ("wave", "squat"):
+            clip = out / motion / "0"
+            poses = np.stack([np.load(clip / f"{i}.npy") for i in range(8)])
+            assert poses.shape[1:] == (30, 3)
+            # real tracking: the clip's poses VARY across frames (a stuck
+            # last-good-pose fallback repeats one array)
+            assert np.abs(poses - poses[0]).max() > 1e-3
+
     def test_fused_pipeline_learns_and_recognizes(self, trained_params):
         """The product loop, trained nets, REAL thresholds: track a rendered
         humanoid, learn 'wave' and 'squat' from captured windows, then

@@ -99,10 +99,15 @@ def extract_tree(estimator, videos_root: str, out_root: str, n_frames: int = 16,
         for entry in os.listdir(out_class):
             if entry.startswith(".skip_") and entry[6:].isdigit():
                 done_idx.add(int(entry[6:]))
-            elif entry.isdigit() and os.path.exists(
-                os.path.join(out_class, entry, f"{n_frames - 1}.npy")
-            ):
-                done_idx.add(int(entry))
+            elif entry.isdigit():
+                # complete = last npy AND (with images) last png: the png
+                # writes after the npy, so a kill between the two must
+                # leave the clip incomplete, not permanently skipped
+                last = os.path.join(out_class, entry, f"{n_frames - 1}")
+                if os.path.exists(last + ".npy") and (
+                    not with_images or os.path.exists(last + ".png")
+                ):
+                    done_idx.add(int(entry))
         videos = sorted(os.listdir(class_dir))
         for idx, vid in enumerate(videos):
             if idx in done_idx:

@@ -176,7 +176,14 @@ def main(argv=None) -> int:
         bbone_vars = [nv for nv in tf_vars if nv not in head_vars]
         hpe_tree["bbone"] = ckpt.import_metrabs_effnetv2(bbone_vars, variables)
         if head_vars:
-            kernel = next(np.asarray(v) for n, v in head_vars if np.asarray(v).ndim >= 2)
+            kernels = [np.asarray(v) for n, v in head_vars if np.asarray(v).ndim >= 2]
+            if not kernels:
+                raise SystemExit(
+                    f"{args.effnetv2}: matched head variables "
+                    f"{[n for n, _ in head_vars]} contain no >=2-D kernel — "
+                    f"the MetrABS conv_final export looks malformed"
+                )
+            kernel = kernels[0]
             kernel = kernel.reshape(kernel.shape[-2], kernel.shape[-1])
             bias_arrs = [np.asarray(v) for n, v in head_vars if np.asarray(v).ndim == 1]
             head = {"conv_final": {"kernel": kernel}}
