@@ -285,3 +285,67 @@ class TestTrainedPoseStack:
         pred_squat, _ = recognize("squat", 0.4, 22)
         assert pred_wave == "wave", f"wave clip recognized as {pred_wave}"
         assert pred_squat == "squat", f"squat clip recognized as {pred_squat}"
+
+    def test_service_learn_command_with_trained_stack(self, trained_params):
+        """The SERVICE surface doing the product's job: the orchestrator's
+        learn_command acquires 'wave' through the command protocol —
+        countdown, paced acquisition gated on REAL tracking at thresh 0.3
+        (reference main.py:243-319) — then live frames recognize it."""
+        from isbfsar_tpu.ar.recognizer import ActionRecognizer
+        from isbfsar_tpu.pipeline import FusedPipeline
+        from isbfsar_tpu.runtime.orchestrator import Orchestrator
+
+        hpe = HumanPoseEstimator(
+            TEST_HPE, INTR, params=trained_params, backbone_stages=V2_TINY,
+            frame_shape=HW, yolo_width=0.25,
+        )
+        ar_cfg = ARConfig.for_input("skeleton")
+        cfg = PipelineConfig(
+            main=dataclasses.replace(MainConfig.for_input("skeleton"),
+                                     cam_width=HW[1], cam_height=HW[0]),
+            intrinsics=INTR, hpe=TEST_HPE, ar=ar_cfg,
+        )
+        pipe = FusedPipeline(cfg, hpe=hpe, ar=ActionRecognizer(ar_cfg),
+                             with_focus=False)
+
+        class WaveQueue:
+            """in_queue cycling a rendered wave clip (the camera)."""
+
+            def __init__(self):
+                self.frames, _ = render_motion_clip(
+                    "wave", n_frames=48, frame_hw=HW, intrinsics=INTR,
+                    seed=41, cycles=3.0,
+                )
+                self.i = 0
+
+            def get(self):
+                f = self.frames[self.i % len(self.frames)]
+                self.i += 1
+                return {"rgb": f, "msg": ""}
+
+        class FakeClock:
+            def __init__(self):
+                self.t = 0.0
+
+            def __call__(self):
+                self.t += 0.25
+                return self.t
+
+        class Collector:
+            def __init__(self):
+                self.items = []
+
+            def put(self, x):
+                self.items.append(x)
+
+        orch = Orchestrator(cfg, in_queue=WaveQueue(), out_queue=Collector(),
+                            fused=pipe, clock=FakeClock())
+        log = orch.learn_command(["wave"])
+        assert "learned successfully" in log
+
+        votes = []
+        for _ in range(2 * ar_cfg.seq_len):
+            elements = orch.get_frame()  # pulls from the wave queue
+            if elements.get("actions"):
+                votes.append(max(elements["actions"], key=elements["actions"].get))
+        assert votes and max(set(votes), key=votes.count) == "wave", votes
