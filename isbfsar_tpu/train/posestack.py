@@ -403,12 +403,19 @@ class YoloTrainer:
     """
 
     def __init__(self, width: float = 1.0, input_size: int = 256, seed: int = 0,
-                 lr: float = 3e-4, dtype=jnp.float32):
+                 lr: float = 3e-4, dtype=jnp.float32, variables=None):
+        """variables: optional {"params", "batch_stats"} to warm-start from
+        (resume / fine-tune a previous run's output)."""
         self.net = YOLOv4(width=width, dtype=dtype)
         self.input_size = input_size
-        variables = jax.jit(
-            lambda k: self.net.init(k, jnp.zeros((1, input_size, input_size, 3)))
-        )(jax.random.key(seed))
+        if variables is None:
+            variables = jax.jit(
+                lambda k: self.net.init(k, jnp.zeros((1, input_size, input_size, 3)))
+            )(jax.random.key(seed))
+        else:
+            # deep-copy: the train step DONATES its param buffers, which
+            # would delete the caller's arrays out from under them
+            variables = jax.tree.map(lambda x: jnp.array(x, copy=True), variables)
         self.params = variables["params"]
         self.batch_stats = variables["batch_stats"]
         self.optimizer = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(lr))
@@ -470,7 +477,9 @@ class HeatmapTrainer:
 
     def __init__(self, intrinsics: CameraIntrinsics, crop_size: int = 256,
                  stages: Sequence = V2_TINY, seed: int = 0, lr: float = 1e-3,
-                 dtype=jnp.float32, w3d: float = 1.0):
+                 dtype=jnp.float32, w3d: float = 1.0, variables=None):
+        """variables: optional {"bbone": full vars, "head": {"params"}} (the
+        :attr:`variables` of a previous trainer) to warm-start from."""
         self.bbone = EfficientNetV2(stages=stages, dtype=dtype)
         self.head = MetrabsHead()
         self.crop_size = crop_size
@@ -478,17 +487,24 @@ class HeatmapTrainer:
 
         c = crop_size
 
-        @jax.jit
-        def init(key):
-            k1, k2 = jax.random.split(key)
-            bb = self.bbone.init(k1, jnp.zeros((1, c, c, 3)))
-            feat = self.bbone.apply(bb, jnp.zeros((1, c, c, 3)))
-            hd = self.head.init(k2, feat)
-            return bb, hd
+        if variables is not None:
+            # deep-copy (donation — see YoloTrainer)
+            variables = jax.tree.map(lambda x: jnp.array(x, copy=True), variables)
+            self.params = {"bbone": variables["bbone"]["params"],
+                           "head": variables["head"]["params"]}
+            self.batch_stats = variables["bbone"]["batch_stats"]
+        else:
+            @jax.jit
+            def init(key):
+                k1, k2 = jax.random.split(key)
+                bb = self.bbone.init(k1, jnp.zeros((1, c, c, 3)))
+                feat = self.bbone.apply(bb, jnp.zeros((1, c, c, 3)))
+                hd = self.head.init(k2, feat)
+                return bb, hd
 
-        bb_vars, hd_vars = init(jax.random.key(seed))
-        self.params = {"bbone": bb_vars["params"], "head": hd_vars["params"]}
-        self.batch_stats = bb_vars["batch_stats"]
+            bb_vars, hd_vars = init(jax.random.key(seed))
+            self.params = {"bbone": bb_vars["params"], "head": hd_vars["params"]}
+            self.batch_stats = bb_vars["batch_stats"]
         self.optimizer = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(lr))
         self.opt_state = self.optimizer.init(self.params)
 
@@ -577,6 +593,7 @@ def train_pose_params(
     box_jitter: float = 0.08,
     empty_frac: float = 0.12,
     log_every: int = 0,
+    init_params: Optional[Dict] = None,
 ) -> Dict:
     """Train YOLOv4 + EffNetV2 + MetrabsHead on synthetic humanoid scenes
     and return the params dict ``HumanPoseEstimator(params=...)`` consumes.
@@ -586,6 +603,9 @@ def train_pose_params(
     ``yolo_width=1.0, yolo_input_size=256, crop_size=256, stages=V2_L``.
     ``box_jitter`` feeds the heatmap phase detector-like box noise so the
     crop chain is robust to the live detector's localization error.
+    ``init_params``: a previous call's return value — warm-starts both
+    trainers (resume a killed run / extend a budget); pass a different
+    ``seed`` to draw fresh scenes.
     """
     import cv2
 
@@ -595,7 +615,8 @@ def train_pose_params(
 
     det_sampler = SyntheticHumanSampler(frame_hw, intrinsics, seed=seed)
     det = YoloTrainer(width=yolo_width, input_size=yolo_input_size,
-                      seed=seed, lr=lr_det)
+                      seed=seed, lr=lr_det,
+                      variables=init_params["yolo"] if init_params else None)
     for step in range(n_steps_det):
         imgs, boxes, flags = [], [], []
         for _ in range(batch_size):
@@ -619,8 +640,10 @@ def train_pose_params(
     # independent sampler: decouples the pose phase's data stream from
     # n_steps_det (the gazefocus budget-decoupling rule)
     pose_sampler = SyntheticHumanSampler(frame_hw, intrinsics, seed=seed + 1)
-    pose = HeatmapTrainer(intrinsics, crop_size=crop_size, stages=stages,
-                          seed=seed, lr=lr_pose)
+    pose = HeatmapTrainer(
+        intrinsics, crop_size=crop_size, stages=stages, seed=seed, lr=lr_pose,
+        variables={k: init_params[k] for k in ("bbone", "head")} if init_params else None,
+    )
     for step in range(n_steps_pose):
         frames, boxes, joints = [], [], []
         for _ in range(batch_size):

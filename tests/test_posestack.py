@@ -104,6 +104,22 @@ class TestSyntheticHumanoid:
         for a, b, r in HUMANOID_EDGES:
             assert 0 <= a < 32 and 0 <= b < 32 and r > 0
 
+    def test_warm_start_resumes_training(self):
+        """init_params continues from a previous run's weights (resume /
+        budget extension for the 20+ min production runs)."""
+        first = train_pose_params(HW, INTR, n_steps_det=2, n_steps_pose=2,
+                                  batch_size=2, seed=5)
+        second = train_pose_params(HW, INTR, n_steps_det=1, n_steps_pose=1,
+                                   batch_size=2, seed=6, init_params=first)
+        # the stem conv moved FROM the first run's value (not re-initialized)
+        import jax
+
+        a = jax.tree.leaves(first["yolo"]["params"])[0]
+        b = jax.tree.leaves(second["yolo"]["params"])[0]
+        assert a.shape == b.shape
+        d = float(np.abs(np.asarray(a) - np.asarray(b)).max())
+        assert 0 < d < 0.05, f"warm start drifted implausibly: {d}"
+
 
 @pytest.fixture(scope="module")
 def trained_params():

@@ -30,6 +30,10 @@ def main() -> None:
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--log-every", type=int, default=20)
+    parser.add_argument("--init", default=None,
+                        help="warm-start from a previous run's .msgpack "
+                             "(resume a killed run / extend a budget); use "
+                             "a new --seed for fresh scenes")
     args = parser.parse_args()
 
     import jax
@@ -59,10 +63,19 @@ def main() -> None:
             yolo_width=0.25, yolo_input_size=128, crop_size=128, stages=V2_TINY,
         )
 
+    init_params = None
+    if args.init:
+        from flax import serialization
+
+        with open(args.init, "rb") as f:
+            init_params = serialization.msgpack_restore(f.read())
+        print(f"[train_posestack] warm-starting from {args.init}")
+
     t0 = time.time()
     params = train_pose_params(
         n_steps_det=args.steps_det, n_steps_pose=args.steps_pose,
         batch_size=args.batch, seed=args.seed, log_every=args.log_every,
+        init_params=init_params,
         **kw,
     )
     print(f"[train_posestack] trained in {time.time() - t0:.0f}s")
