@@ -30,6 +30,9 @@ def main() -> None:
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--log-every", type=int, default=20)
+    parser.add_argument("--empty-frac", type=float, default=0.12,
+                        help="fraction of person-free training scenes "
+                             "(raise to suppress empty-scene false positives)")
     parser.add_argument("--init", default=None,
                         help="warm-start from a previous run's .msgpack "
                              "(resume a killed run / extend a budget); use "
@@ -75,7 +78,7 @@ def main() -> None:
     params = train_pose_params(
         n_steps_det=args.steps_det, n_steps_pose=args.steps_pose,
         batch_size=args.batch, seed=args.seed, log_every=args.log_every,
-        init_params=init_params,
+        init_params=init_params, empty_frac=args.empty_frac,
         **kw,
     )
     print(f"[train_posestack] trained in {time.time() - t0:.0f}s")
