@@ -123,12 +123,11 @@ def dp_parity_check(n_devices: int, atol: float = 2e-6,
         )
         # The stats must have moved OFF THEIR INIT (means 0, vars 1 — so a
         # plain |stats| > 0 test would pass vacuously on an untouched
-        # tree): compare post-step vs pre-step trees leafwise.
-        moved = max(
-            float(np.abs(np.asarray(a) - np.asarray(b)).max())
-            for a, b in zip(stats_leaves, jax.tree.leaves(s_init))
+        # tree): max_diff tree-maps, so a structure mismatch raises instead
+        # of silently mispairing leaves.
+        assert max_diff(s1, s_init) > 0.0, (
+            "BN stats never updated during the parity step"
         )
-        assert moved > 0.0, "BN stats never updated during the parity step"
 
     diff_tree = jax.tree.map(lambda a, b: np.asarray(a) - np.asarray(b), p1, pn)
     update_tree = jax.tree.map(lambda a, b: np.asarray(a) - np.asarray(b), p1, p_init)

@@ -194,6 +194,15 @@ class GUIVisualizer:
         self.ax_cmd = self.fig.add_subplot(2, 2, 4)
         self.fig.canvas.mpl_connect("key_press_event", self._on_key)
         self._interactive = backend is None or "agg" not in str(backend).lower()
+        if self._interactive:
+            # map the window NOW: modern backends create figure windows
+            # hidden until manager.show(), and the per-frame pump below is
+            # flush_events (which only services an already-shown window) —
+            # without this the GUI never appears (review finding r3 #2)
+            try:
+                self.fig.show()
+            except Exception:
+                self._interactive = False  # no display after all
         self._art: Optional[Dict[str, Any]] = None  # persistent animated artists
         self._bg = None  # cached static background (blit base)
         self._bg_size = None
@@ -253,11 +262,12 @@ class GUIVisualizer:
             # keystroke, including the one to re-enable.
             # flush_events, NOT plt.pause: pause draw_idles the stale
             # figure, and that full redraw EXCLUDES animated artists —
-            # wiping the blit we just painted (review finding r3).
-            try:
-                self.fig.canvas.flush_events()
-            except NotImplementedError:
-                self._plt.pause(0.001)
+            # wiping the blit we just painted (review finding r3). The
+            # interactive backends (TkAgg/QtAgg/macosx) all implement
+            # flush_events; the FigureCanvasBase fallback is a silent
+            # no-op, acceptable for exotic canvases (the window was mapped
+            # by fig.show() in __init__ either way).
+            self.fig.canvas.flush_events()
 
     def render(self, elements: Dict[str, Any]) -> np.ndarray:
         """Offscreen render -> (h, w, 3) uint8 RGB (for tests / recording)."""

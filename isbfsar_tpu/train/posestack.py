@@ -94,6 +94,32 @@ HUMANOID_EDGES: Tuple[Tuple[int, int, float], ...] = (
 MOTIONS = ("idle", "wave", "squat", "walk")
 
 
+def _check_warmstart_shapes(given, expected_shapes, what: str) -> None:
+    """Fail fast with the offending path when a warm-start tree doesn't
+    match the selected architecture (a CI-size checkpoint fed to a
+    --production run would otherwise die minutes later inside a jitted
+    apply with a traceback that never mentions --init)."""
+    import flax
+
+    g = flax.traverse_util.flatten_dict(given)
+    e = flax.traverse_util.flatten_dict(expected_shapes)
+    if set(g) != set(e):
+        missing = sorted(set(e) - set(g))[:3]
+        extra = sorted(set(g) - set(e))[:3]
+        raise ValueError(
+            f"warm-start {what} tree does not match this architecture: "
+            f"missing={['/'.join(k) for k in missing]} "
+            f"extra={['/'.join(k) for k in extra]}"
+        )
+    for k in g:
+        if tuple(np.shape(g[k])) != tuple(e[k].shape):
+            raise ValueError(
+                f"warm-start {what} leaf {'/'.join(k)} has shape "
+                f"{np.shape(g[k])}, this architecture expects {e[k].shape} "
+                f"— was the checkpoint trained at a different size preset?"
+            )
+
+
 def humanoid_pose(t: float, motion: str = "idle", phase: float = 0.0) -> np.ndarray:
     """(32, 3) body-local joint positions at cycle position ``t`` in [0, 1).
 
@@ -405,7 +431,8 @@ class YoloTrainer:
     def __init__(self, width: float = 1.0, input_size: int = 256, seed: int = 0,
                  lr: float = 3e-4, dtype=jnp.float32, variables=None):
         """variables: optional {"params", "batch_stats"} to warm-start from
-        (resume / fine-tune a previous run's output)."""
+        (fine-tune / extend a previous run's output; optimizer state
+        restarts fresh)."""
         self.net = YOLOv4(width=width, dtype=dtype)
         self.input_size = input_size
         if variables is None:
@@ -413,6 +440,14 @@ class YoloTrainer:
                 lambda k: self.net.init(k, jnp.zeros((1, input_size, input_size, 3)))
             )(jax.random.key(seed))
         else:
+            _check_warmstart_shapes(
+                variables,
+                jax.eval_shape(
+                    lambda k: self.net.init(k, jnp.zeros((1, input_size, input_size, 3))),
+                    jax.random.key(0),
+                ),
+                "yolo",
+            )
             # deep-copy: the train step DONATES its param buffers, which
             # would delete the caller's arrays out from under them
             variables = jax.tree.map(lambda x: jnp.array(x, copy=True), variables)
@@ -488,6 +523,15 @@ class HeatmapTrainer:
         c = crop_size
 
         if variables is not None:
+            def expected(key):
+                k1, k2 = jax.random.split(key)
+                bb = self.bbone.init(k1, jnp.zeros((1, c, c, 3)))
+                feat = self.bbone.apply(bb, jnp.zeros((1, c, c, 3)))
+                return {"bbone": bb, "head": self.head.init(k2, feat)}
+
+            _check_warmstart_shapes(
+                variables, jax.eval_shape(expected, jax.random.key(0)), "pose"
+            )
             # deep-copy (donation — see YoloTrainer)
             variables = jax.tree.map(lambda x: jnp.array(x, copy=True), variables)
             self.params = {"bbone": variables["bbone"]["params"],
@@ -604,7 +648,9 @@ def train_pose_params(
     ``box_jitter`` feeds the heatmap phase detector-like box noise so the
     crop chain is robust to the live detector's localization error.
     ``init_params``: a previous call's return value — warm-starts both
-    trainers (resume a killed run / extend a budget); pass a different
+    trainers from those WEIGHTS (optimizer moments restart fresh, so this
+    is fine-tuning/budget-extension semantics, not bit-exact resumption;
+    expect a small transient in the first resumed steps). Pass a different
     ``seed`` to draw fresh scenes.
     """
     import cv2

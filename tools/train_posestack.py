@@ -35,8 +35,9 @@ def main() -> None:
                              "(raise to suppress empty-scene false positives)")
     parser.add_argument("--init", default=None,
                         help="warm-start from a previous run's .msgpack "
-                             "(resume a killed run / extend a budget); use "
-                             "a new --seed for fresh scenes")
+                             "weights (budget extension / fine-tune; "
+                             "optimizer moments restart fresh); use a new "
+                             "--seed for fresh scenes")
     args = parser.parse_args()
 
     import jax
@@ -68,8 +69,6 @@ def main() -> None:
 
     init_params = None
     if args.init:
-        from flax import serialization
-
         with open(args.init, "rb") as f:
             init_params = serialization.msgpack_restore(f.read())
         print(f"[train_posestack] warm-starting from {args.init}")
