@@ -88,6 +88,7 @@ class Orchestrator:
         self.fused = fused
         self.fused_overlap = fused_overlap
         self._fused_pending = None  # (img, packed token) awaiting decode
+        self._fused_batch_pending = None  # (imgs, packed, start) for overlapped batches
         if fused is not None:
             self.hpe, self.focus, self.ar = fused.hpe, fused.focus, fused.ar
             fused.start()
@@ -183,17 +184,25 @@ class Orchestrator:
 
         return self._finish_frame(elements, start, log)
 
-    def get_frame_batch(self, imgs, log: Optional[str] = None):
+    def get_frame_batch(self, imgs, log: Optional[str] = None,
+                        overlap: bool = False):
         """Micro-batched fused serve: B frames -> B elements dicts via ONE
         device round-trip (one H2D put + one packed D2H for the batch).
 
         The per-frame `get_frame` path pays two relay round-trips per
         frame (frame put + result get) that no amount of double-buffering
         can hide — measured 21.6 FPS through the remote-attached chip vs
-        83+ FPS for this path at B=16 (docs/PERF.md round 3). Synchronous:
-        results pair with their inputs; adds up to one batch of latency.
-        Each distinct batch size compiles its own program — pick one B and
-        keep it."""
+        83+ FPS for this path at B=16 (docs/PERF.md round 3). Results pair
+        with their inputs; each distinct batch size compiles its own
+        program — pick one B and keep it.
+
+        overlap=False (default): synchronous — the returned elements are
+        THIS call's frames; up to one batch of latency. overlap=True:
+        batch-level double-buffering — dispatch this batch, return the
+        PREVIOUS batch's elements (paired with the previous batch's imgs;
+        [] on the first call while the pipeline fills). Hides the device
+        round-trip behind the next batch's host work — the stream_batched
+        discipline at the service surface."""
         assert self.fused is not None, "get_frame_batch requires fused mode"
         start = self.clock()
         frames = imgs
@@ -201,7 +210,16 @@ class Orchestrator:
             from isbfsar_tpu.ops.image import bgr_to_i420
 
             frames = [bgr_to_i420(i) for i in imgs]
-        rows = np.asarray(self.fused.dispatch_batch(np.stack(frames)))
+        packed = self.fused.dispatch_batch(np.stack(frames))
+
+        if overlap:
+            prev = self._fused_batch_pending
+            self._fused_batch_pending = (list(imgs), packed, start)
+            if prev is None:
+                return []
+            imgs, packed, start = prev
+
+        rows = np.asarray(packed)
         per_frame = max((self.clock() - start) / max(len(imgs), 1), 1e-9)
         out = []
         for img, row in zip(imgs, rows):
@@ -228,10 +246,11 @@ class Orchestrator:
     def _refresh_support(self) -> None:
         """Rebuild the fused pipeline's cached support K/V after edits."""
         if self.fused is not None:
-            # a pending overlapped frame was matched against the OLD support
-            # set — drop it (stale actions must not surface post-edit); the
-            # next call re-primes the one-frame pipeline
+            # a pending overlapped frame/batch was matched against the OLD
+            # support set — drop it (stale actions must not surface
+            # post-edit); the next call re-primes the pipeline
             self._fused_pending = None
+            self._fused_batch_pending = None
             self.fused.start()
 
     # -------------------------------------------------------------- commands

@@ -360,6 +360,23 @@ class TestFusedOrchestrator:
             ref = sync.get_frame(img=img)
             np.testing.assert_allclose(e["pose"], ref["pose"], rtol=1e-5, atol=1e-6)
 
+        # overlap=True: batch-level double-buffering — each call returns
+        # the PREVIOUS batch's results, paired with ITS imgs
+        ov = Orchestrator(
+            orchestrator.config, in_queue=AutoFrameQueue(),
+            out_queue=Collector(), fused=fused, clock=FakeClock(),
+        )
+        first = ov.get_frame_batch(frames[:2], overlap=True)
+        assert first == []  # pipeline fill
+        second = ov.get_frame_batch(frames[2:4], overlap=True)
+        assert len(second) == 2
+        assert second[0]["img"] is frames[0] and second[1]["img"] is frames[1]
+        np.testing.assert_allclose(second[0]["pose"], outs[0]["pose"],
+                                   rtol=1e-5, atol=1e-6)
+        # support edits drop the stale pending batch
+        ov._refresh_support()
+        assert ov._fused_batch_pending is None
+
     def test_fused_i420_transport(self, orchestrator):
         """serve --transport i420: the orchestrator encodes BGR frames to
         planar YUV host-side and the fused graph decodes them — same
