@@ -181,10 +181,23 @@ def bench_full() -> dict:
     serve_batched_fps = 96 / (time.perf_counter() - t0)
     serve_elements = batch_elements[-1]
 
+    # batch-level double-buffering: dispatch batch i, decode batch i-1 —
+    # the fastest serve discipline (results stay paired with their imgs)
+    for _ in range(2):
+        orch.get_frame_batch(bgr_frames[:sb], overlap=True)
+    t0 = time.perf_counter()
+    got = 0
+    for i in range(0, 96, sb):
+        got += len(orch.get_frame_batch(
+            [bgr_frames[(i + j) % 32] for j in range(sb)], overlap=True
+        ))
+    serve_overlap_fps = got / (time.perf_counter() - t0)
+
     print(
         f"[bench] fps={fps:.1f} (stream batch={batch}, median of "
         f"{[round(t, 1) for t in trials]}) serve_loop={serve_fps:.1f} fps "
         f"serve_batched(B={sb})={serve_batched_fps:.1f} fps "
+        f"serve_overlap={serve_overlap_fps:.1f} fps "
         f"(orchestrator incl. i420 encode) "
         f"batched latency p50={blat_p50:.0f}ms p95={blat_p95:.0f}ms "
         f"sync p50={p50:.2f}ms p99={p99:.2f}ms "
@@ -207,6 +220,8 @@ def bench_full() -> dict:
         "serve_loop_fps": round(serve_fps, 2),
         # micro-batched orchestrator serve (get_frame_batch, B=8)
         "serve_batched_fps": round(serve_batched_fps, 2),
+        # batch-level double-buffered serve (overlap=True, B=8)
+        "serve_batched_overlap_fps": round(serve_overlap_fps, 2),
         # stream_batched submit->result latency (includes pipeline delay)
         "stream_batched_latency_p50_ms": round(blat_p50, 1),
         "stream_batched_latency_p95_ms": round(blat_p95, 1),
