@@ -185,6 +185,14 @@ class FusedPipeline:
 
         self._step = jax.jit(self._step_impl, donate_argnums=(3,))
         self._step_batch = jax.jit(self._step_batch_impl, donate_argnums=(3,))
+        # D2H prefetch (jax.Array.copy_to_host_async): start the packed
+        # result's device->host copy the moment its program completes, so a
+        # double-buffered consumer's later np.asarray finds the bytes
+        # already resident instead of paying the get-RTT inline. On a
+        # remote-attached chip this hides the second of the two relay
+        # round-trips the per-frame serve path pays (docs/PERF.md "Live
+        # serve surfaces"); on co-located hardware it is a no-op-grade hint.
+        self._prefetch_ok = True
 
     # -------------------------------------------------------------- factory
 
@@ -461,8 +469,20 @@ class FusedPipeline:
         self._support_mask = jnp.asarray(self.ar.support_mask)
         self._device_params = self._params()
 
+    def _start_host_copy(self, packed) -> None:
+        """Enqueue the packed result's D2H copy without blocking (falls back
+        silently where the backend lacks copy_to_host_async)."""
+        if self._prefetch_ok:
+            try:
+                packed.copy_to_host_async()
+            except Exception:
+                self._prefetch_ok = False
+
     def dispatch(self, frame: np.ndarray) -> jnp.ndarray:
-        """Enqueue one frame (async): one H2D put + one program dispatch."""
+        """Enqueue one frame (async): one H2D put + one program dispatch.
+        The packed result's D2H copy is started eagerly (see
+        :meth:`_start_host_copy`) so a later fetch overlaps it with
+        whatever host work happens in between."""
         packed, self._state = self._step(
             self._device_params,
             jax.device_put(np.ascontiguousarray(frame, np.uint8)),
@@ -470,6 +490,7 @@ class FusedPipeline:
             self._state,
             self._support_mask,
         )
+        self._start_host_copy(packed)
         return packed
 
     def step(self, frame: np.ndarray) -> Dict[str, np.ndarray]:
@@ -494,7 +515,8 @@ class FusedPipeline:
             yield self.fetch(pending)
 
     def dispatch_batch(self, frames: np.ndarray) -> jnp.ndarray:
-        """Enqueue B frames as one program call (async)."""
+        """Enqueue B frames as one program call (async); the batch's packed
+        results start their D2H copy eagerly (see :meth:`_start_host_copy`)."""
         packed, self._state = self._step_batch(
             self._device_params,
             jax.device_put(np.ascontiguousarray(frames, np.uint8)),
@@ -502,6 +524,7 @@ class FusedPipeline:
             self._state,
             self._support_mask,
         )
+        self._start_host_copy(packed)
         return packed
 
     def stream_batched(

@@ -137,6 +137,7 @@ class MultiStreamPipeline:
             self._states,
             self._support_mask,
         )
+        self.pipe._start_host_copy(packed)
         return packed
 
     def fetch(self, packed) -> List[Dict[str, np.ndarray]]:
@@ -176,6 +177,7 @@ class MultiStreamPipeline:
             self._states,
             self._support_mask,
         )
+        self.pipe._start_host_copy(packed)
         return packed
 
     def stream_batched(self, ticks, batch_size: int = 8):
