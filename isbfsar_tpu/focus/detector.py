@@ -171,10 +171,18 @@ class FocusDetector:
     # ----------------------------------------------------------- public API
 
     def estimate_async(self, frame):
-        """Dispatch the fused face/pose/gaze program without blocking."""
+        """Dispatch the fused face/pose/gaze program without blocking.
+        The small result fields start their D2H copy eagerly (utils/
+        transfer.py) so the later collect overlaps the relay RTT with
+        whatever runs in between; the heavy normalized_image is NOT
+        prefetched (collect drops it unless return_image=True)."""
+        from isbfsar_tpu.utils.transfer import prefetch_host
+
         if isinstance(frame, np.ndarray):
             frame = jax.device_put(np.ascontiguousarray(frame))
-        return self._forward(self.params, frame)
+        out = self._forward(self.params, frame)
+        prefetch_host({k: v for k, v in out.items() if k != "normalized_image"})
+        return out
 
     def estimate_collect(self, out, return_image: bool = False):
         """Block on a dispatched program, apply the close/far heuristic.

@@ -253,10 +253,18 @@ class HumanPoseEstimator:
         """
         # device_put, not jnp.asarray: the latter routes through a slow
         # conversion path on remote-attached chips (~40ms vs ~1ms for 921KB).
+        from isbfsar_tpu.utils.transfer import prefetch_host
+
         frame = jax.device_put(np.ascontiguousarray(frame)) if isinstance(frame, np.ndarray) else frame
-        if self.just_box:
-            return ("box", self._box_jit(self.params, frame))
-        return ("full", self._estimate_jit(self.params, frame))
+        token = (
+            ("box", self._box_jit(self.params, frame))
+            if self.just_box
+            else ("full", self._estimate_jit(self.params, frame))
+        )
+        # eager D2H: the collect's device_get overlaps the relay RTT with
+        # the host work dispatched between async and collect (utils/transfer.py)
+        prefetch_host(token[1])
+        return token
 
     def estimate_collect(self, token) -> Optional[Dict[str, Any]]:
         """Block on a dispatched program and decode the dict/None contract.

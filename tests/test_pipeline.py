@@ -127,6 +127,32 @@ class TestBatchedStream:
             assert bool(b["ar_ready"]) == bool(s["ar_ready"])
 
 
+class TestPrefetch:
+    def test_dispatch_survives_missing_copy_to_host_async(self, pipe):
+        """The eager-D2H discipline must degrade to a no-op, not crash,
+        where the backend's arrays lack copy_to_host_async (pipeline.py
+        _start_host_copy one-shot fallback)."""
+
+        class NoAsync:
+            def copy_to_host_async(self):
+                raise RuntimeError("backend does not support it")
+
+        assert pipe._prefetch_ok  # CPU jax.Array supports it
+        pipe._start_host_copy(NoAsync())
+        assert not pipe._prefetch_ok  # one-shot: never tried again
+        src = SyntheticSource(FRAME_SHAPE[1], FRAME_SHAPE[0])
+        out = pipe.decode(pipe.step(src.read()[1]))  # still serves frames
+        assert "actions" in out
+        pipe._prefetch_ok = True  # restore for the other module-scoped tests
+
+    def test_prefetch_host_skips_non_array_leaves(self):
+        from isbfsar_tpu.utils import transfer
+
+        # None placeholders (e.g. focus normalized_image) must not trip it
+        transfer.prefetch_host({"a": None, "b": np.zeros(3)})
+        assert transfer._supported
+
+
 class TestGraftEntry:
     def test_dryrun_multichip_8(self):
         import __graft_entry__ as ge

@@ -19,8 +19,11 @@ Run:  python tools/convert_assets.py [--reference /root/reference]
 import argparse
 import os
 import pickle
+import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 OUT_DIR = os.path.join(HERE, "..", "isbfsar_tpu", "assets")

@@ -16,7 +16,11 @@ CLI is the synthetic-supervision route (see train/posestack.py docstring).
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
@@ -38,6 +42,15 @@ def main() -> None:
                              "weights (budget extension / fine-tune; "
                              "optimizer moments restart fresh); use a new "
                              "--seed for fresh scenes")
+    parser.add_argument("--eval", type=int, default=0, metavar="N",
+                        help="after training, run the fresh-scene receipt "
+                             "on N person scenes (+ N//1.5 empty scenes) at "
+                             "the reference 0.3 gate and print one JSON "
+                             "line (IoU, rel/abs joint err, distance err, "
+                             "empty-scene FP rate)")
+    parser.add_argument("--eval-only", action="store_true",
+                        help="skip training; load --init and evaluate it "
+                             "(requires --init and --eval)")
     args = parser.parse_args()
 
     import jax
@@ -73,17 +86,43 @@ def main() -> None:
             init_params = serialization.msgpack_restore(f.read())
         print(f"[train_posestack] warm-starting from {args.init}")
 
-    t0 = time.time()
-    params = train_pose_params(
-        n_steps_det=args.steps_det, n_steps_pose=args.steps_pose,
-        batch_size=args.batch, seed=args.seed, log_every=args.log_every,
-        init_params=init_params, empty_frac=args.empty_frac,
-        **kw,
-    )
-    print(f"[train_posestack] trained in {time.time() - t0:.0f}s")
-    with open(args.out, "wb") as f:
-        f.write(serialization.msgpack_serialize(jax.tree.map(np.asarray, params)))
-    print(f"[train_posestack] wrote {args.out}")
+    if args.eval_only:
+        assert init_params is not None and args.eval, "--eval-only needs --init and --eval"
+        params = init_params
+    else:
+        t0 = time.time()
+        params = train_pose_params(
+            n_steps_det=args.steps_det, n_steps_pose=args.steps_pose,
+            batch_size=args.batch, seed=args.seed, log_every=args.log_every,
+            init_params=init_params, empty_frac=args.empty_frac,
+            **kw,
+        )
+        print(f"[train_posestack] trained in {time.time() - t0:.0f}s")
+        with open(args.out, "wb") as f:
+            f.write(serialization.msgpack_serialize(jax.tree.map(np.asarray, params)))
+        print(f"[train_posestack] wrote {args.out}")
+
+    if args.eval:
+        import json
+
+        from isbfsar_tpu.configs import HPEConfig
+        from isbfsar_tpu.hpe.estimator import HumanPoseEstimator
+        from isbfsar_tpu.train.posestack import evaluate_pose_stack
+
+        hpe_cfg = HPEConfig(
+            yolo_input_size=kw["yolo_input_size"], crop_size=kw["crop_size"],
+            yolo_thresh=0.3,
+        )
+        est = HumanPoseEstimator(
+            hpe_cfg, kw["intrinsics"], params=params,
+            backbone_stages=kw["stages"], frame_shape=kw["frame_hw"],
+            yolo_width=kw["yolo_width"],
+        )
+        metrics = evaluate_pose_stack(
+            est, kw["frame_hw"], kw["intrinsics"],
+            n_scenes=args.eval, n_empty=max(args.eval * 2 // 3, 1),
+        )
+        print("[train_posestack:eval] " + json.dumps(metrics))
 
 
 if __name__ == "__main__":
