@@ -10,9 +10,12 @@ contract is preserved exactly.
 
 Python-side transport uses the stdlib manager protocol (pickle framing is
 the reference's wire contract); the intra-process fast path for module
-fan-out uses :class:`LocalQueuePair`, and a zero-copy shared-memory ring
-(C++ runtime, isbfsar_tpu/runtime/native) is used when transferring frames
-between co-located processes.
+fan-out uses :class:`LocalQueuePair`. Co-located source/serve processes
+can skip this hub entirely: ``--hub shm`` on both sides routes the same
+queue contract over the zero-copy C++ shared-memory ring
+(runtime/shm_transport.py; frames never pickle, elements use one shared
+slot) — measured 30.2 FPS median / 34.8 mean vs the TCP hub's 29.0 / 25.2
+on the full service drive (docs/PERF.md).
 """
 
 from __future__ import annotations

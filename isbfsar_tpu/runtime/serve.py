@@ -25,7 +25,11 @@ def main() -> None:
     from isbfsar_tpu.utils.cache import enable_compile_cache
 
     parser = argparse.ArgumentParser()
-    parser.add_argument("--hub", default="localhost")
+    parser.add_argument("--hub", default="localhost",
+                        help="TCP hub host, or 'shm' for the same-host "
+                             "native shared-memory transport (zero-copy "
+                             "frames, no hub process — runtime/"
+                             "shm_transport.py)")
     parser.add_argument("--input-type", default="skeleton",
                         choices=["skeleton", "rgb", "hybrid"])
     parser.add_argument("--save-dir", default="saved")
@@ -49,11 +53,17 @@ def main() -> None:
 
     enable_compile_cache()
 
-    client = QueueClient(args.hub)
-    in_q = client.get_queue("source_human")
-    out_q = client.get_queue("human_sink")
-
     config = PipelineConfig.for_input(args.input_type)
+    if args.hub == "shm":
+        from isbfsar_tpu.runtime.shm_transport import serve_queues
+
+        in_q, out_q = serve_queues(
+            (config.main.cam_height, config.main.cam_width, 3)
+        )
+    else:
+        client = QueueClient(args.hub)
+        in_q = client.get_queue("source_human")
+        out_q = client.get_queue("human_sink")
     if args.yolo_thresh is not None:
         config = dataclasses.replace(
             config, hpe=dataclasses.replace(config.hpe, yolo_thresh=args.yolo_thresh)

@@ -138,19 +138,28 @@ def run_source(
     """Host loop (reference source.py:43-54): push frames + commands, drain results.
 
     command_stream: optional iterator yielding command strings ('' = none).
+    hub_host: TCP hub host, or "shm" for the same-host native
+    shared-memory transport (runtime/shm_transport.py) — channels open
+    lazily on the first frame (their slot layout needs the frame shape).
     Returns the number of frames pushed.
     """
-    from isbfsar_tpu.runtime.ipc import DEFAULT_PORT, QueueClient
+    to_compute = from_compute = None
+    if hub_host != "shm":
+        from isbfsar_tpu.runtime.ipc import DEFAULT_PORT, QueueClient
 
-    client = QueueClient(hub_host, hub_port or DEFAULT_PORT)
-    to_compute = client.get_queue("source_human")
-    from_compute = client.get_queue("human_sink")
+        client = QueueClient(hub_host, hub_port or DEFAULT_PORT)
+        to_compute = client.get_queue("source_human")
+        from_compute = client.get_queue("human_sink")
 
     n = 0
     while max_frames is None or n < max_frames:
         ok, frame = source.read()
         if not ok:
             break
+        if to_compute is None:
+            from isbfsar_tpu.runtime.shm_transport import source_queues
+
+            to_compute, from_compute = source_queues(frame.shape)
         msg = next(command_stream, "") if command_stream is not None else ""
         to_compute.put({"rgb": frame, "msg": msg})
         n += 1

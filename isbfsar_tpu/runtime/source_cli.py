@@ -34,7 +34,9 @@ def main() -> None:
     from isbfsar_tpu.runtime.visualizer import ConsoleVisualizer
 
     parser = argparse.ArgumentParser()
-    parser.add_argument("--hub", default="localhost")
+    parser.add_argument("--hub", default="localhost",
+                        help="TCP hub host, or 'shm' for the same-host "
+                             "native shared-memory transport")
     parser.add_argument("--source", default="synthetic",
                         choices=["synthetic", "video", "webcam", "realsense"])
     parser.add_argument("--path", default=None, help="video file for --source video")

@@ -124,3 +124,98 @@ class TestFrameQueue:
 
         # the native path should win by a wide margin; 2x is a loose floor
         assert native_dt * 2 < tcp_dt, (native_dt, tcp_dt)
+
+
+class TestShmTransport:
+    """The same-host service transport (runtime/shm_transport.py): the
+    ``--hub shm`` path replacing the TCP hub for co-located processes."""
+
+    def test_object_queue_ndarray_bitexact(self):
+        from isbfsar_tpu.runtime.shm_transport import ShmObjectQueue
+
+        q = ShmObjectQueue("/isbfsar_test_obj", slot_size=1 << 20)
+        try:
+            elements = {
+                "img": np.arange(48, dtype=np.uint8).reshape(4, 4, 3),
+                "pose": np.random.default_rng(0).normal(size=(30, 3)).astype(np.float32),
+                "actions": {"wave": 0.75},
+                "is_true": 0.5,
+                "log": "hello",
+            }
+            q.put(elements)
+            out = q.get()
+            np.testing.assert_array_equal(out["img"], elements["img"])
+            np.testing.assert_array_equal(out["pose"], elements["pose"])
+            assert out["pose"].dtype == np.float32
+            assert out["actions"] == {"wave": 0.75}
+            assert out["log"] == "hello"
+        finally:
+            q.close()
+
+    def test_object_queue_rejects_oversize(self):
+        from isbfsar_tpu.runtime.native import ShmQueueError
+        from isbfsar_tpu.runtime.shm_transport import ShmObjectQueue
+
+        q = ShmObjectQueue("/isbfsar_test_obj_small", slot_size=256)
+        try:
+            with pytest.raises(ShmQueueError, match="slot"):
+                q.put(np.zeros(4096, np.uint8))
+        finally:
+            q.close()
+
+    def test_run_source_over_shm(self):
+        """run_source(hub_host='shm') against a compute loop on the serve
+        channels: frames arrive zero-copy, elements (ndarray fields intact)
+        come back, 'quit' terminates — the full transport contract without
+        a hub process."""
+        import threading
+
+        from isbfsar_tpu.runtime.shm_transport import serve_queues
+        from isbfsar_tpu.runtime.source import SyntheticSource, run_source
+
+        shape = (48, 64, 3)
+        in_q, out_q = serve_queues(shape)
+        stopped = threading.Event()
+
+        def compute():
+            while True:
+                d = in_q.get()
+                if d.get("msg") in ("quit", "close", "exit", "q"):
+                    stopped.set()
+                    return
+                out_q.put({
+                    "img": d["rgb"],
+                    "pose": np.full((30, 3), 0.5, np.float32),
+                    "actions": {"a": 1.0},
+                    "fps": 1.0,
+                })
+
+        t = threading.Thread(target=compute, daemon=True)
+        t.start()
+
+        shown = []
+
+        class Viz:
+            def show(self, elements):
+                shown.append(elements)
+
+        def commands():
+            for i in range(100):
+                yield "quit" if i == 10 else ""
+
+        try:
+            n = run_source(SyntheticSource(shape[1], shape[0]), hub_host="shm",
+                           visualizer=Viz(), command_stream=commands(),
+                           max_frames=50)
+            t.join(timeout=10)
+            assert stopped.is_set(), "compute loop never saw 'quit'"
+            assert n == 11  # 10 frames + the quit cycle
+            assert len(shown) == 10
+            assert shown[0]["img"].shape == shape
+            np.testing.assert_array_equal(
+                shown[0]["pose"], np.full((30, 3), 0.5, np.float32)
+            )
+            assert shown[0]["actions"] == {"a": 1.0}
+        finally:
+            in_q.close()
+            out_q.close()
