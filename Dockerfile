@@ -21,6 +21,15 @@
 # --privileged exposes the TPU devices (/dev/accel*) on Cloud TPU VMs;
 # --net=host lets the host source reach the hub without port mapping
 # (equivalently: -p 50000:50000 and point the host at the container).
+#
+# Same-host fast path (no hub container): share the host's /dev/shm and
+# run serve with the native shared-memory transport —
+#   docker run --rm --net=host --privileged --ipc=host \
+#       -v /var/cache/isbfsar-jax:/cache isbfsar-tpu \
+#       python -m isbfsar_tpu.runtime.serve --hub shm --fused &
+#   python -m isbfsar_tpu.runtime.source_cli --hub shm --gui   # on the host
+# (--ipc=host is required: the C++ ring lives in POSIX shared memory;
+# 30.2 FPS median vs 29.0 over the TCP hub, docs/PERF.md.)
 
 FROM python:3.12-slim
 
