@@ -30,7 +30,12 @@ from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
 
-from isbfsar_tpu.runtime.native import ShmBytesQueue, ShmFrameQueue, ShmQueueError
+from isbfsar_tpu.runtime.native import (
+    ShmBytesQueue,
+    ShmFrameQueue,
+    ShmQueueError,
+    ShmQueueTimeout,
+)
 
 SRC2SRV = "isbfsar_src2srv"
 SRV2SRC = "isbfsar_srv2src"
@@ -56,7 +61,14 @@ class ShmFrameChannel:
                     timeout_ms=self._timeout_ms)
 
     def get(self) -> Dict[str, Any]:
-        return self._q.get(timeout_ms=self._timeout_ms)
+        # the hub contract blocks indefinitely (queue.Queue.get) — a serve
+        # process may legitimately idle for minutes before a source starts,
+        # so retry through the ring's internal timeout instead of raising
+        while True:
+            try:
+                return self._q.get(timeout_ms=self._timeout_ms)
+            except ShmQueueTimeout:
+                continue
 
     def close(self) -> None:
         self._q.close()
@@ -87,8 +99,12 @@ class ShmObjectQueue:
         self._q.put(data, timeout_ms=self._timeout_ms)
 
     def get(self) -> Any:
-        return pickle.loads(self._q.get(self.slot_size,
-                                        timeout_ms=self._timeout_ms))
+        while True:  # blocking queue contract — see ShmFrameChannel.get
+            try:
+                return pickle.loads(self._q.get(self.slot_size,
+                                                timeout_ms=self._timeout_ms))
+            except ShmQueueTimeout:
+                continue
 
     def close(self) -> None:
         self._q.close()

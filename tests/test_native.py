@@ -219,3 +219,24 @@ class TestShmTransport:
         finally:
             in_q.close()
             out_q.close()
+
+    def test_get_blocks_through_internal_timeouts(self):
+        """The queue contract blocks indefinitely: a serve process idling
+        past the ring's internal timeout must keep waiting, not raise
+        (regression: ShmQueueTimeout leaked out of get() after 120 s)."""
+        import threading
+
+        from isbfsar_tpu.runtime.shm_transport import ShmFrameChannel
+
+        ch = ShmFrameChannel("/isbfsar_test_block", (8, 8, 3), create=True,
+                             timeout_ms=100)
+        try:
+            def late_put():
+                time.sleep(0.35)  # > 3 internal timeout cycles
+                ch.put({"rgb": np.zeros((8, 8, 3), np.uint8), "msg": "late"})
+
+            threading.Thread(target=late_put, daemon=True).start()
+            out = ch.get()
+            assert out["msg"] == "late"
+        finally:
+            ch.close()
