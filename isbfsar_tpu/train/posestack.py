@@ -711,3 +711,82 @@ def train_pose_params(
             print(f"[posestack:pose] step {step} loss {loss:.4f}", flush=True)
 
     return {"yolo": det.variables, **pose.variables}
+
+
+def evaluate_pose_stack(
+    estimator,
+    frame_hw: Tuple[int, int],
+    intrinsics: CameraIntrinsics,
+    n_scenes: int = 15,
+    n_empty: int = 10,
+    seed: int = 1000,
+) -> Dict[str, float]:
+    """Fresh-scene receipt for a trained estimator at ITS configured gate.
+
+    Runs ``n_scenes`` person scenes + ``n_empty`` person-free scenes from a
+    NEW sampler seed through the full live program (``_estimate_jit``) and
+    returns every number the receipts in docs/PERF.md track:
+
+    - ``found_rate``, ``iou_mean``/``iou_min`` (detector quality),
+    - ``rel_err_m`` — root-relative joint error in meters (what the AR
+      consumer sees, pipeline.py rel_pose),
+    - ``abs_err_m`` — ABSOLUTE camera-space joint error (pose * 2.5 m vs GT;
+      dominated by the 2D decode resolution — the crop's heatmap grid),
+    - ``dist_err_m`` — metric distance error (reference main.py:102),
+    - ``empty_fp_rate`` — detections on person-free scenes.
+    """
+    from isbfsar_tpu.utils.skeleton import get_skeleton, load_expand_joints
+
+    jm = load_expand_joints("")[:, list(get_skeleton("smpl+head_30").indices)]
+
+    def _iou(a, b):
+        lt = np.maximum(a[:2], b[:2])
+        rb = np.minimum(a[2:], b[2:])
+        wh = np.maximum(rb - lt, 0)
+        inter = wh[0] * wh[1]
+        ua = ((a[2] - a[0]) * (a[3] - a[1])
+              + (b[2] - b[0]) * (b[3] - b[1]) - inter)
+        return float(inter / (ua + 1e-9))
+
+    s = SyntheticHumanSampler(frame_hw, intrinsics, seed=seed)
+    found_n = 0
+    ious, rel_errs, abs_errs, dist_errs = [], [], [], []
+    for _ in range(n_scenes):
+        frame, gt = s.sample()
+        pose, bbox, conf, found, visible = jax.device_get(
+            estimator._estimate_jit(estimator.params, frame)
+        )
+        if not (bool(found) and bool(visible)):
+            continue
+        found_n += 1
+        x1, x2, y1, y2 = bbox
+        ious.append(_iou(np.asarray([x1, y1, x2, y2], float), gt["bbox"]))
+        gt30 = np.einsum("jc,jn->nc", gt["joints3d"], jm)
+        pose_m = np.asarray(pose) * BOX_SIZE_M
+        rel_errs.append(float(np.linalg.norm(
+            (pose_m - pose_m[0]) - (gt30 - gt30[0]), axis=-1).mean()))
+        abs_errs.append(float(np.linalg.norm(pose_m - gt30, axis=-1).mean()))
+        dist_errs.append(abs(float(
+            np.linalg.norm(pose_m[0]) - np.linalg.norm(gt30[0]))))
+
+    fp = 0
+    for _ in range(n_empty):
+        frame, _ = s.sample(person=False)
+        _, _, _, found, _ = jax.device_get(
+            estimator._estimate_jit(estimator.params, frame)
+        )
+        fp += int(bool(found))
+
+    def m(x):
+        return float(np.mean(x)) if x else float("nan")
+
+    return {
+        "n_scenes": n_scenes,
+        "found_rate": found_n / max(n_scenes, 1),
+        "iou_mean": m(ious),
+        "iou_min": float(np.min(ious)) if ious else float("nan"),
+        "rel_err_m": m(rel_errs),
+        "abs_err_m": m(abs_errs),
+        "dist_err_m": m(dist_errs),
+        "empty_fp_rate": fp / max(n_empty, 1),
+    }
