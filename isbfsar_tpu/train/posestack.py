@@ -93,6 +93,46 @@ HUMANOID_EDGES: Tuple[Tuple[int, int, float], ...] = (
 
 MOTIONS = ("idle", "wave", "squat", "walk")
 
+# Action-class library for the offline AR workflow (tools/synth_workflow.py):
+# extra parametric motions that are NOT in MOTIONS, so the detection/pose
+# trainers' scene distribution — and the cached trained fixtures keyed on it
+# — stay byte-stable, and the pose nets must GENERALIZE to these held-out
+# motions exactly as they would to real unseen actions. Split mirrors the
+# reference protocol (train TRX on one class set, FSOS-eval on a disjoint
+# one — reference modules/ar/utils/test/compute_fsos.py:40-79).
+ACTION_TRAIN_CLASSES = (
+    "wave", "squat", "walk", "raise_both", "clap", "kick_r", "bow", "lean",
+)
+ACTION_TEST_CLASSES = (
+    "march", "punch_l", "jumping_jack", "twist", "touch_head", "shrug",
+    "sway",
+)
+
+# joints that ride the torso for trunk motions (bow/twist/lean)
+_UPPER = (
+    "spine1", "spine2", "spine3", "chest", "neck", "l_collar", "r_collar",
+    "head", "head_top", "nose", "jaw", "l_eye", "r_eye", "l_ear", "r_ear",
+    "l_shoulder", "r_shoulder", "l_elbow", "r_elbow", "l_wrist", "r_wrist",
+    "l_hand", "r_hand",
+)
+
+
+def _arm_chain(j: np.ndarray, side: str, ang: float, plane: str = "frontal") -> None:
+    """Pose one arm as a straight chain at ``ang`` rad from straight-down.
+
+    ``frontal`` rotates in the body x-y plane (lateral raise), ``sagittal``
+    in y-z (forward raise). Overwrites elbow/wrist/hand from the shoulder.
+    """
+    sign = 1.0 if side == "l" else -1.0
+    sh = j[_J[f"{side}_shoulder"]]
+    if plane == "frontal":
+        d = np.asarray([sign * np.sin(ang), np.cos(ang), 0.0], np.float32)
+    else:
+        d = np.asarray([0.0, np.cos(ang), -np.sin(ang)], np.float32)
+    j[_J[f"{side}_elbow"]] = sh + 0.27 * d
+    j[_J[f"{side}_wrist"]] = sh + 0.53 * d
+    j[_J[f"{side}_hand"]] = sh + 0.62 * d
+
 
 def _check_warmstart_shapes(given, expected_shapes, what: str) -> None:
     """Fail fast with the offending path when a warm-start tree doesn't
@@ -128,8 +168,14 @@ def humanoid_pose(t: float, motion: str = "idle", phase: float = 0.0) -> np.ndar
     visibly distinct relative-pose dynamics (the AR demo's class signal):
     ``wave`` moves one arm chain, ``squat`` moves the pelvis/knees
     vertically, ``walk`` counter-swings legs and arms in z.
+
+    Beyond the four pose-training motions, the AR action library
+    (ACTION_TRAIN_CLASSES / ACTION_TEST_CLASSES) adds twelve more classes,
+    each exercising a distinct joint group x axis combination so the
+    root-relative 30-joint trajectory — the TRX input signal — separates
+    them (tools/synth_workflow.py is the consumer).
     """
-    assert motion in MOTIONS, motion
+    assert motion in MOTIONS or motion in _ACTIONS, motion
     s = np.sin(2 * np.pi * t + phase)
     j = np.zeros((32, 3), np.float32)
 
@@ -186,8 +232,153 @@ def humanoid_pose(t: float, motion: str = "idle", phase: float = 0.0) -> np.ndar
                 j[_J[f"{side}_{p}"], 2] += -0.8 * sign * swing
     elif motion == "idle":
         j[:, 0] += 0.01 * s  # breathing sway
+    elif motion in _ACTIONS:
+        _ACTIONS[motion](j, s, t, phase)
 
     return j
+
+
+# ------------------------------------------------------- action-class motions
+#
+# Each mutates the default skeleton like the branches above. The primary
+# oscillator ``s`` is sin(2*pi*t + phase); fast motions derive their own
+# double-frequency oscillator from (t, phase).
+
+
+def _act_raise_both(j, s, t, phase):
+    # both full arms sweep down<->overhead in the frontal plane
+    ang = 1.2 + 0.9 * s
+    _arm_chain(j, "l", ang)
+    _arm_chain(j, "r", ang)
+
+
+def _act_clap(j, s, t, phase):
+    # hands oscillate laterally toward the chest midline, forward of torso
+    spread = 0.05 + 0.11 * (1 + s)
+    for side, sign in (("l", 1.0), ("r", -1.0)):
+        j[_J[f"{side}_elbow"]] = (sign * 0.24, -0.26, -0.10)
+        j[_J[f"{side}_wrist"]] = (sign * spread, -0.31, -0.20)
+        j[_J[f"{side}_hand"]] = (sign * spread * 0.5, -0.32, -0.23)
+
+
+def _act_kick_r(j, s, t, phase):
+    # right leg swings forward/up; left leg and arms stay planted
+    lift = 0.5 * (1 + s)
+    j[_J["r_knee"]] += (0, -0.22 * lift, -0.28 * lift)
+    for p in ("r_ankle", "r_foot"):
+        j[_J[p]] += (0, -0.38 * lift, -0.52 * lift)
+
+
+def _act_bow(j, s, t, phase):
+    # torso pitches forward about the pelvis x-axis
+    th = 0.35 * (1 + s)
+    u = [_J[n] for n in _UPPER]
+    y = j[u, 1].copy()
+    j[u, 2] += y * np.sin(th)  # y is negative above the pelvis -> z forward
+    j[u, 1] = y * np.cos(th)
+
+
+def _act_lean(j, s, t, phase):
+    # lateral trunk bend: upper joints shear sideways with height
+    u = [_J[n] for n in _UPPER]
+    j[u, 0] += (-j[u, 1]) * 0.45 * s
+
+
+def _act_march(j, s, t, phase):
+    # knees alternately raise vertically (no arm swing — distinct from walk)
+    for side, osc in (("l", s), ("r", -s)):
+        lift = max(osc, 0.0)
+        j[_J[f"{side}_knee"]] += (0, -0.45 * lift, -0.24 * lift)
+        for p in ("ankle", "foot"):
+            j[_J[f"{side}_{p}"]] += (0, -0.40 * lift, 0.06 * lift)
+
+
+def _act_punch_l(j, s, t, phase):
+    # left fist thrusts far forward in z with a shoulder turn; the right
+    # stays in a static guard (distinct mean posture AND dynamics)
+    ext = 0.5 * (1 + s)
+    j[_J["l_shoulder"], 2] -= 0.10 * ext
+    j[_J["r_shoulder"], 2] += 0.10 * ext
+    j[_J["l_elbow"]] = (0.14, -0.32, -0.26 * ext)
+    j[_J["l_wrist"]] = (0.06, -0.34, -0.18 - 0.45 * ext)
+    j[_J["l_hand"]] = (0.04, -0.34, -0.24 - 0.50 * ext)
+    j[_J["r_elbow"]] = (-0.22, -0.28, -0.08)
+    j[_J["r_wrist"]] = (-0.12, -0.34, -0.16)
+    j[_J["r_hand"]] = (-0.10, -0.35, -0.18)
+
+
+def _act_jumping_jack(j, s, t, phase):
+    # arms AND legs abduct laterally together
+    ab = 0.5 * (1 + s)
+    ang = 0.3 + 2.2 * ab
+    _arm_chain(j, "l", ang)
+    _arm_chain(j, "r", ang)
+    for side, sign in (("l", 1.0), ("r", -1.0)):
+        j[_J[f"{side}_knee"], 0] += sign * 0.15 * ab
+        for p in ("ankle", "foot"):
+            j[_J[f"{side}_{p}"], 0] += sign * 0.30 * ab
+
+
+def _act_twist(j, s, t, phase):
+    # torso yaw oscillation about the vertical axis
+    th = 1.0 * s
+    u = [_J[n] for n in _UPPER]
+    x, z = j[u, 0].copy(), j[u, 2].copy()
+    j[u, 0] = x * np.cos(th) - z * np.sin(th)
+    j[u, 2] = x * np.sin(th) + z * np.cos(th)
+
+
+def _act_touch_head(j, s, t, phase):
+    # both hands rise from hanging to the ears, elbows flaring out
+    r = 0.5 * (1 + s)
+    for side, sign in (("l", 1.0), ("r", -1.0)):
+        base_e = np.asarray(j[_J[f"{side}_elbow"]])
+        base_w = np.asarray(j[_J[f"{side}_wrist"]])
+        j[_J[f"{side}_elbow"]] = base_e * (1 - r) + r * np.asarray(
+            [sign * 0.30, -0.46, -0.05])
+        j[_J[f"{side}_wrist"]] = base_w * (1 - r) + r * np.asarray(
+            [sign * 0.11, -0.60, -0.03])
+        j[_J[f"{side}_hand"]] = j[_J[f"{side}_wrist"]] + (0, -0.05, 0)
+
+
+def _act_shrug(j, s, t, phase):
+    # shoulder girdle + bent-out arms bob vertically (amplitude sized above
+    # the trained pose net's per-frame noise floor; the bent-elbow posture
+    # separates the MEAN signature from idle/march arms)
+    lift = 0.16 * (1 + s)
+    for side, sign in (("l", 1.0), ("r", -1.0)):
+        j[_J[f"{side}_elbow"]] = (sign * 0.34, -0.22, 0.0)
+        j[_J[f"{side}_wrist"]] = (sign * 0.30, -0.05, -0.10)
+        j[_J[f"{side}_hand"]] = (sign * 0.29, 0.02, -0.12)
+    for n in ("l_collar", "r_collar", "l_shoulder", "r_shoulder",
+              "l_elbow", "r_elbow", "l_wrist", "r_wrist", "l_hand", "r_hand"):
+        j[_J[n], 1] -= lift
+
+
+def _act_sway(j, s, t, phase):
+    # whole upper body circles laterally while feet stay planted: x AND z
+    # of the trunk move in quadrature (distinct from lean's pure x shear)
+    c = np.cos(2 * np.pi * t + phase)
+    u = [_J[n] for n in _UPPER]
+    j[u, 0] += (-j[u, 1]) * 0.50 * s
+    j[u, 2] += (-j[u, 1]) * 0.38 * c
+
+
+_ACTIONS = {
+    "raise_both": _act_raise_both,
+    "clap": _act_clap,
+    "kick_r": _act_kick_r,
+    "bow": _act_bow,
+    "lean": _act_lean,
+    "march": _act_march,
+    "punch_l": _act_punch_l,
+    "jumping_jack": _act_jumping_jack,
+    "twist": _act_twist,
+    "touch_head": _act_touch_head,
+    "shrug": _act_shrug,
+    "sway": _act_sway,
+}
+assert set(ACTION_TRAIN_CLASSES + ACTION_TEST_CLASSES) - set(MOTIONS) == set(_ACTIONS)
 
 
 # per-joint drawn radius (meters) for the exact bbox of the rendering
@@ -301,36 +492,116 @@ def render_humanoid_scene(
     }
 
 
+def random_humanoid_pose(rng: np.random.Generator) -> np.ndarray:
+    """A random articulated configuration spanning the WHOLE pose space.
+
+    The four MOTIONS cover a thin slice of arm/torso/leg configurations; a
+    pose net trained only on them collapses unseen limb placements toward
+    that slice (measured: action classes with raised/forward arms extracted
+    with ~0 amplitude). This generator is the synthetic analog of training
+    metrabs on broad mocap diversity: random per-limb chain angles, torso
+    pitch/yaw/lean, and leg raises, layered on a random library motion
+    frame so the in-distribution poses stay covered too.
+    """
+    base = list(MOTIONS) + list(_ACTIONS)
+    j = humanoid_pose(float(rng.random()), base[rng.integers(len(base))],
+                      phase=float(rng.uniform(0, 2 * np.pi)))
+    for side in "lr":
+        if rng.random() < 0.7:
+            _arm_chain(j, side, float(rng.uniform(0.0, np.pi)),
+                       "frontal" if rng.random() < 0.5 else "sagittal")
+            if rng.random() < 0.5:  # random elbow bend
+                el, wr = j[_J[f"{side}_elbow"]], j[_J[f"{side}_wrist"]]
+                bend = rng.uniform(-0.18, 0.18, 3).astype(np.float32)
+                j[_J[f"{side}_wrist"]] = el + (wr - el) * 0.7 + bend
+                j[_J[f"{side}_hand"]] = j[_J[f"{side}_wrist"]] + (wr - el) * 0.3
+    u = [_J[n] for n in _UPPER]
+    if rng.random() < 0.5:  # pitch
+        th = float(rng.uniform(-0.25, 0.7))
+        y = j[u, 1].copy()
+        j[u, 2] += y * np.sin(th)
+        j[u, 1] = y * np.cos(th)
+    if rng.random() < 0.5:  # yaw
+        th = float(rng.uniform(-1.0, 1.0))
+        x, z = j[u, 0].copy(), j[u, 2].copy()
+        j[u, 0] = x * np.cos(th) - z * np.sin(th)
+        j[u, 2] = x * np.sin(th) + z * np.cos(th)
+    if rng.random() < 0.4:  # lateral lean
+        j[u, 0] += (-j[u, 1]) * float(rng.uniform(-0.5, 0.5))
+    for side in "lr":
+        if rng.random() < 0.35:  # leg raise
+            lift = float(rng.uniform(0.2, 1.0))
+            j[_J[f"{side}_knee"]] += (0, -0.40 * lift, -0.22 * lift)
+            for p in ("ankle", "foot"):
+                j[_J[f"{side}_{p}"]] += (0, -0.36 * lift, 0.02 * lift)
+    return j
+
+
 class SyntheticHumanSampler:
-    """Random scenes: motion x phase x placement x yaw x depth."""
+    """Random scenes: motion x phase x placement x yaw x depth.
+
+    ``pose_mode="motions"`` (default) draws from the four MOTIONS — the
+    byte-stable distribution the round-3 fixtures/receipts were trained on.
+    ``pose_mode="diverse"`` mixes 50% :func:`random_humanoid_pose` with 50%
+    full action-library motions — the distribution a general-purpose pose
+    net needs (see random_humanoid_pose docstring).
+    """
 
     def __init__(self, frame_hw: Tuple[int, int] = (240, 320),
                  intrinsics: Optional[CameraIntrinsics] = None, seed: int = 0,
-                 z_range: Tuple[float, float] = (1.8, 3.6)):
+                 z_range: Tuple[float, float] = (1.8, 3.6),
+                 pose_mode: str = "motions"):
+        assert pose_mode in ("motions", "diverse"), pose_mode
         self.frame_hw = frame_hw
         self.intrinsics = intrinsics or CameraIntrinsics()
         self.rng = np.random.default_rng(seed)
         self.z_range = z_range
+        self.pose_mode = pose_mode
 
     def sample(self, motion: Optional[str] = None, person: bool = True,
                t: Optional[float] = None, center=None, yaw: Optional[float] = None):
         """Returns (frame, gt). The body is placed so its full vertical
         extent projects inside the frame."""
         rng = self.rng
-        motion = motion or MOTIONS[rng.integers(len(MOTIONS))]
-        t = float(rng.random()) if t is None else t
-        local = humanoid_pose(t, motion, phase=float(rng.uniform(0, 2 * np.pi)))
+        if motion is None and self.pose_mode == "diverse" and person:
+            if rng.random() < 0.5:
+                local = random_humanoid_pose(rng)
+                motion = "random"
+            else:
+                lib = list(MOTIONS) + list(_ACTIONS)
+                motion = lib[rng.integers(len(lib))]
+                local = humanoid_pose(
+                    float(rng.random()) if t is None else t, motion,
+                    phase=float(rng.uniform(0, 2 * np.pi)),
+                )
+        else:
+            # "motions" mode consumes the rng EXACTLY as round 3 did — the
+            # cached trained fixtures and receipts are keyed on this stream
+            motion = motion or MOTIONS[rng.integers(len(MOTIONS))]
+            t = float(rng.random()) if t is None else t
+            local = humanoid_pose(t, motion,
+                                  phase=float(rng.uniform(0, 2 * np.pi)))
         h, w = self.frame_hw
         k = self.intrinsics.matrix()
         f = float(k[0, 0])
         z = float(rng.uniform(*self.z_range))
         if center is None:
-            # keep the projected body inside the frame: the body spans
-            # y in [-0.75, 0.95] around the pelvis, x in +-0.45
-            y_span = 0.95 * f / z
-            x_span = 0.50 * f / z
+            if self.pose_mode == "diverse":
+                # exact per-pose extent: raised arms / split legs exceed the
+                # fixed-span assumption below, so bound from `local` itself
+                # (x/z mix under yaw -> use the radial x-z extent)
+                up = -float(local[:, 1].min()) + 0.17
+                dn = float(local[:, 1].max()) + 0.10
+                rad = float(np.hypot(local[:, 0], local[:, 2]).max()) + 0.12
+                x_span = rad * f / z
+                lo_y, hi_y = up * f / z, h - dn * f / z
+            else:
+                # keep the projected body inside the frame: the body spans
+                # y in [-0.75, 0.95] around the pelvis, x in +-0.45
+                y_span = 0.95 * f / z
+                x_span = 0.50 * f / z
+                lo_y, hi_y = 0.85 * y_span, h - 1.1 * y_span
             cx = rng.uniform(x_span, w - x_span) if w > 2 * x_span else w / 2
-            lo_y, hi_y = 0.85 * y_span, h - 1.1 * y_span
             cy = rng.uniform(lo_y, hi_y) if hi_y > lo_y else h / 2
             center = ((cx - k[0, 2]) / f * z, (cy - k[1, 2]) / f * z, z)
         yaw = float(rng.uniform(-0.7, 0.7)) if yaw is None else yaw
@@ -512,9 +783,14 @@ class HeatmapTrainer:
 
     def __init__(self, intrinsics: CameraIntrinsics, crop_size: int = 256,
                  stages: Sequence = V2_TINY, seed: int = 0, lr: float = 1e-3,
-                 dtype=jnp.float32, w3d: float = 1.0, variables=None):
+                 dtype=jnp.float32, w3d: float = 1.0, variables=None,
+                 huber_beta: float = 0.05):
         """variables: optional {"bbone": full vars, "head": {"params"}} (the
-        :attr:`variables` of a previous trainer) to warm-start from."""
+        :attr:`variables` of a previous trainer) to warm-start from.
+        huber_beta: smooth-L1 knee in box units — 0.05 = 0.125 m; tighten
+        toward ~0.02 when the target is fine-scale pose sensitivity (the
+        default's quadratic zone under-weights sub-0.1 m errors, which is
+        exactly the temporal action signal extraction needs)."""
         self.bbone = EfficientNetV2(stages=stages, dtype=dtype)
         self.head = MetrabsHead()
         self.crop_size = crop_size
@@ -582,7 +858,7 @@ class HeatmapTrainer:
             pred3d = decode_heatmap3d(l3d)
             pred2d = decode_heatmap2d(l2d, scale=float(c - 1))
 
-            def smooth_l1(x, beta=0.05):
+            def smooth_l1(x, beta=huber_beta):
                 a = jnp.abs(x)
                 return jnp.where(a < beta, 0.5 * a * a / beta, a - 0.5 * beta)
 
@@ -638,6 +914,8 @@ def train_pose_params(
     empty_frac: float = 0.12,
     log_every: int = 0,
     init_params: Optional[Dict] = None,
+    pose_mode: str = "motions",
+    pose_huber_beta: float = 0.05,
 ) -> Dict:
     """Train YOLOv4 + EffNetV2 + MetrabsHead on synthetic humanoid scenes
     and return the params dict ``HumanPoseEstimator(params=...)`` consumes.
@@ -659,7 +937,8 @@ def train_pose_params(
     h, w = frame_hw
     norm = np.asarray([w, h, w, h], np.float32)
 
-    det_sampler = SyntheticHumanSampler(frame_hw, intrinsics, seed=seed)
+    det_sampler = SyntheticHumanSampler(frame_hw, intrinsics, seed=seed,
+                                        pose_mode=pose_mode)
     det = YoloTrainer(width=yolo_width, input_size=yolo_input_size,
                       seed=seed, lr=lr_det,
                       variables=init_params["yolo"] if init_params else None)
@@ -685,10 +964,12 @@ def train_pose_params(
 
     # independent sampler: decouples the pose phase's data stream from
     # n_steps_det (the gazefocus budget-decoupling rule)
-    pose_sampler = SyntheticHumanSampler(frame_hw, intrinsics, seed=seed + 1)
+    pose_sampler = SyntheticHumanSampler(frame_hw, intrinsics, seed=seed + 1,
+                                         pose_mode=pose_mode)
     pose = HeatmapTrainer(
         intrinsics, crop_size=crop_size, stages=stages, seed=seed, lr=lr_pose,
         variables={k: init_params[k] for k in ("bbone", "head")} if init_params else None,
+        huber_beta=pose_huber_beta,
     )
     for step in range(n_steps_pose):
         frames, boxes, joints = [], [], []
@@ -711,6 +992,55 @@ def train_pose_params(
             print(f"[posestack:pose] step {step} loss {loss:.4f}", flush=True)
 
     return {"yolo": det.variables, **pose.variables}
+
+
+# CI operating point shared by the test fixtures (tests/test_posestack.py)
+# and tools/synth_workflow.py — one cache entry serves both.
+CI_FRAME_HW = (240, 320)
+CI_INTRINSICS = CameraIntrinsics(fx=192.0, fy=192.0, ppx=160.0, ppy=120.0,
+                                 width=320, height=240)
+CI_BUDGETS = dict(n_steps_det=700, n_steps_pose=700, batch_size=8,
+                  empty_frac=0.2)
+
+
+def ci_pose_params():
+    """CI-budget trained pose stack, train-once cached on disk.
+
+    Budgets from the round-3 calibration curves: IoU ~0.7, 0-1/20 empty-
+    scene false positives, ~0.1 m root-relative joint error on detections
+    (see tests/test_posestack.py fixture comment). The cache key matches
+    the test fixture's exactly so warm suites and the workflow tool share
+    one fit (utils/cache.py cached_params).
+    """
+    from isbfsar_tpu.utils.cache import cached_params
+
+    return cached_params(
+        f"posestack:{CI_INTRINSICS!r}:{CI_FRAME_HW!r}:"
+        f"{sorted(CI_BUDGETS.items())!r}",
+        lambda: train_pose_params(CI_FRAME_HW, CI_INTRINSICS, **CI_BUDGETS),
+        version="1",
+    )
+
+
+def diverse_pose_params():
+    """CI-budget pose stack trained on the DIVERSE pose distribution.
+
+    Same budgets as :func:`ci_pose_params` but ``pose_mode="diverse"`` —
+    random whole-space articulations + the full 16-class action library.
+    This is the fit the offline AR workflow extracts with: a net trained
+    only on the four MOTIONS collapses out-of-distribution limb placements
+    (raised/forward arms come out with near-zero amplitude), which destroys
+    the action signal (see random_humanoid_pose). Separate cache entry;
+    the round-3 "motions" fixture stays byte-stable."""
+    from isbfsar_tpu.utils.cache import cached_params
+
+    return cached_params(
+        f"posestack-diverse:{CI_INTRINSICS!r}:{CI_FRAME_HW!r}:"
+        f"{sorted(CI_BUDGETS.items())!r}",
+        lambda: train_pose_params(CI_FRAME_HW, CI_INTRINSICS,
+                                  pose_mode="diverse", **CI_BUDGETS),
+        version="1",
+    )
 
 
 def evaluate_pose_stack(

@@ -128,17 +128,18 @@ def trained_params():
     # false positives, and the estimator's root-relative joint error on
     # DETECTED boxes lands ~0.1 m (absolute ~0.3 m — the reconstruction
     # consumes the 2D decode, which at the 128-crop's 4x4 heatmap carries
-    # the coarsest quantization). Train-once cache: warm suites skip the
-    # fit entirely (utils/cache.py cached_params).
-    from isbfsar_tpu.utils.cache import cached_params
-
-    budgets = dict(n_steps_det=700, n_steps_pose=700, batch_size=8,
-                   empty_frac=0.2)
-    return cached_params(
-        f"posestack:{INTR!r}:{HW!r}:{sorted(budgets.items())!r}",
-        lambda: train_pose_params(HW, INTR, **budgets),
-        version="1",
+    # the coarsest quantization). Train-once cache shared with
+    # tools/synth_workflow.py: warm suites skip the fit entirely.
+    from isbfsar_tpu.train.posestack import (
+        CI_FRAME_HW,
+        CI_INTRINSICS,
+        ci_pose_params,
     )
+
+    assert (HW, INTR) == (CI_FRAME_HW, CI_INTRINSICS), (
+        "test operating point drifted from the shared CI fixture"
+    )
+    return ci_pose_params()
 
 
 @pytest.fixture(scope="module")

@@ -1,0 +1,298 @@
+"""Full offline AR workflow, end to end, with the framework's own weights:
+
+    render action videos -> extract skeletons with the TRAINED pose stack
+    -> train TRXOS episodically -> FSOS-evaluate on DISJOINT held-out classes
+
+This is the reference's complete offline loop — data production (reference
+modules/ar/utils/data_extraction/extract_skeleton_rgb_from_nturgbd.py:57-117),
+episodic training (modules/ar/utils/train.py), and the published FSOS
+protocol (modules/ar/utils/test/compute_fsos.py:40-146) — run on synthetic
+humanoid action classes so the whole chain is exercisable and certified in
+this repo without NTU-RGBD. The perception stage runs at the REFERENCE
+confidence gate (yolo_thresh=0.3, utils/params.py:29): the TRX sees real
+estimator outputs, estimation noise included, not ground-truth joints.
+
+Class protocol mirrors the reference split discipline: TRX trains on
+ACTION_TRAIN_CLASSES and is FSOS-evaluated k-way on ACTION_TEST_CLASSES —
+classes it has NEVER seen — with a separately rendered exemplar tree as the
+support source (compute_fsos.py keeps exemplars apart from queries too).
+
+CI sizes (the tests' budget, tests/test_synth_workflow.py):
+    python tools/synth_workflow.py --workdir /tmp/synthwf
+
+Production sizes (full pose stack on the TPU, 480x640 frames):
+    python tools/synth_workflow.py --production \
+        --pose-params /tmp/pose_prod3.msgpack --workdir /tmp/synthwf_prod \
+        --clips 8 --epochs 30 --n-task 128
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def render_video_library(
+    root: str,
+    classes: Sequence[str],
+    clips_per_class: int,
+    n_frames: int,
+    frame_hw: Tuple[int, int],
+    intrinsics,
+    seed: int = 0,
+    z_range: Tuple[float, float] = (2.0, 3.2),
+) -> None:
+    """Write ``root/<class>/<i>.mp4`` clips with randomized viewpoint.
+
+    Per clip: random phase, yaw, depth and cycle count — the within-class
+    variation a camera would see. Skips clips that already exist (the same
+    resume discipline as extraction)."""
+    import cv2
+
+    from isbfsar_tpu.train.posestack import render_motion_clip
+
+    rng = np.random.default_rng(seed)
+    h, w = frame_hw
+    for ci, cls in enumerate(classes):
+        cdir = os.path.join(root, cls)
+        os.makedirs(cdir, exist_ok=True)
+        for k in range(clips_per_class):
+            # draw the clip's randomization BEFORE the skip check so reruns
+            # keep the rng stream aligned with a fresh run
+            phase = float(rng.uniform(0, 2 * np.pi))
+            yaw = float(rng.uniform(-0.6, 0.6))
+            z = float(rng.uniform(*z_range))
+            x = float(rng.uniform(-0.25, 0.25)) * z
+            cycles = float(rng.uniform(1.2, 2.2))
+            path = os.path.join(cdir, f"{k}.mp4")
+            if os.path.exists(path):
+                continue
+            frames, _ = render_motion_clip(
+                cls, n_frames=n_frames, frame_hw=frame_hw,
+                intrinsics=intrinsics, center=(x, 0.15, z), yaw=yaw,
+                cycles=cycles, seed=seed * 1000 + ci * 100 + k, phase=phase,
+            )
+            vw = cv2.VideoWriter(
+                path, cv2.VideoWriter_fourcc(*"mp4v"), 15, (w, h)
+            )
+            assert vw.isOpened(), "cv2 mp4v encoder unavailable"
+            for f in frames:
+                vw.write(f)
+            vw.release()
+
+
+def run_workflow(
+    pose_params,
+    workdir: str,
+    frame_hw: Tuple[int, int],
+    intrinsics,
+    yolo_width: float = 0.25,
+    yolo_input_size: int = 128,
+    crop_size: int = 128,
+    backbone_stages=None,
+    train_classes: Optional[Sequence[str]] = None,
+    test_classes: Optional[Sequence[str]] = None,
+    clips_per_class: int = 6,
+    exemplar_clips: int = 2,
+    n_frames: int = 16,
+    seq_len: int = 8,
+    way: int = 5,
+    n_epochs: int = 25,
+    n_task: int = 160,
+    batch_size: int = 8,
+    fsos_repeats: int = 5,
+    seed: int = 0,
+    log: bool = True,
+) -> Dict:
+    """The chain. Returns the receipt dict (counts, training curve endpoints,
+    FSOS results). Idempotent per ``workdir``: rendering and extraction
+    resume; training and eval always run."""
+    import dataclasses
+
+    import jax
+
+    from isbfsar_tpu.configs import ARConfig, HPEConfig
+    from isbfsar_tpu.hpe.estimator import HumanPoseEstimator
+    from isbfsar_tpu.models.effnetv2 import V2_TINY
+    from isbfsar_tpu.parallel.mesh import make_mesh
+    from isbfsar_tpu.train.dataloader import EpisodicSampler, batch_iterator
+    from isbfsar_tpu.train.fsos import evaluate_fsos, summarize
+    from isbfsar_tpu.train.posestack import (
+        ACTION_TEST_CLASSES,
+        ACTION_TRAIN_CLASSES,
+    )
+    from isbfsar_tpu.train.trainer import Trainer
+    from tools.extract_dataset import extract_tree
+
+    train_classes = list(train_classes or ACTION_TRAIN_CLASSES)
+    test_classes = list(test_classes or ACTION_TEST_CLASSES)
+    t0 = time.time()
+
+    def say(msg):
+        if log:
+            print(f"[synth_workflow] {msg}", flush=True)
+
+    # 1. render the video libraries (train / test-queries / test-exemplars)
+    vids = {
+        "train": os.path.join(workdir, "videos_train"),
+        "test_q": os.path.join(workdir, "videos_test_queries"),
+        "test_ex": os.path.join(workdir, "videos_test_exemplars"),
+    }
+    render_video_library(vids["train"], train_classes, clips_per_class,
+                         n_frames, frame_hw, intrinsics, seed=seed)
+    render_video_library(vids["test_q"], test_classes, clips_per_class,
+                         n_frames, frame_hw, intrinsics, seed=seed + 1)
+    render_video_library(vids["test_ex"], test_classes, exemplar_clips,
+                         n_frames, frame_hw, intrinsics, seed=seed + 2)
+    t_render = time.time()
+    say(f"rendered {len(train_classes)}+{len(test_classes)} classes "
+        f"in {t_render - t0:.0f}s")
+
+    # 2. extract skeleton trees with the TRAINED stack at the 0.3 gate.
+    # skeleton=None: the tree stores the full (122, 3) pose — the loader
+    # selects the 30-joint skeleton at load time (dataloader.load_clip).
+    estimator = HumanPoseEstimator(
+        HPEConfig(yolo_input_size=yolo_input_size, crop_size=crop_size,
+                  yolo_thresh=0.3, skeleton=None),
+        intrinsics, params=pose_params,
+        backbone_stages=backbone_stages or V2_TINY,
+        frame_shape=frame_hw, yolo_width=yolo_width,
+    )
+    trees = {k: os.path.join(workdir, f"tree_{k}") for k in vids}
+    n_skipped = 0
+    for k in vids:
+        extract_tree(estimator, vids[k], trees[k], n_frames=n_frames)
+        for cls in os.listdir(trees[k]):
+            n_skipped += sum(
+                e.startswith(".skip_")
+                for e in os.listdir(os.path.join(trees[k], cls))
+            )
+    t_extract = time.time()
+    say(f"extracted trees in {t_extract - t_render:.0f}s "
+        f"({n_skipped} clips skipped by the 0.3 gate)")
+
+    # 3. episodic TRX training on the train-class tree
+    cfg = dataclasses.replace(
+        ARConfig.for_input("skeleton"), way=way, seq_len=seq_len,
+        batch_size=batch_size, n_task=n_task, n_epochs=n_epochs,
+        eval_every_n_epoch=10_000,
+    )
+    trainer = Trainer(cfg, mesh=make_mesh(1),
+                      log_dir=os.path.join(workdir, "run"), use_wandb=False)
+    last = {}
+    for epoch in range(n_epochs):
+        sampler = EpisodicSampler(
+            trees["train"], k=way, n_task=n_task, max_l=n_frames, l=seq_len,
+            seed=seed + 100 + epoch,
+        )
+        batches = batch_iterator(sampler, batch_size, shuffle=False,
+                                 drop_last=True)
+        last = trainer.run_epoch(epoch, batches, train=True)
+        say(f"epoch {epoch}: fs_loss {last['train/fs_loss']:.3f} "
+            f"fs_acc {last['train/fs_accuracy']:.2f} "
+            f"os_acc {last['train/os_accuracy']:.2f}")
+    t_train = time.time()
+
+    # 4. FSOS on the held-out classes (reference compute_fsos protocol)
+    params = jax.tree.map(np.asarray, trainer.params)
+    results = evaluate_fsos(
+        cfg, params, trees["test_q"], trees["test_ex"], k=way,
+        n_repeats=fsos_repeats, batch_size=batch_size, seed=seed,
+    )
+    t_eval = time.time()
+
+    receipt = {
+        "train_classes": len(train_classes),
+        "test_classes": len(test_classes),
+        "clips_per_class": clips_per_class,
+        "skipped_clips": n_skipped,
+        "way": way,
+        "seq_len": seq_len,
+        "epochs": n_epochs,
+        "train_fs_acc": round(last.get("train/fs_accuracy", -1.0), 3),
+        "train_os_acc": round(last.get("train/os_accuracy", -1.0), 3),
+        "fsos": {k: round(float(np.mean(v)), 3) for k, v in results.items()},
+        "fsos_std": {k: round(float(np.std(v)), 3) for k, v in results.items()},
+        "wall_s": {
+            "render": round(t_render - t0, 1),
+            "extract": round(t_extract - t_render, 1),
+            "train": round(t_train - t_extract, 1),
+            "fsos_eval": round(t_eval - t_train, 1),
+        },
+    }
+    say("summary " + json.dumps(summarize(results)))
+    return receipt
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--workdir", required=True)
+    parser.add_argument("--production", action="store_true",
+                        help="full-size pose stack on 480x640 frames "
+                             "(requires --pose-params)")
+    parser.add_argument("--pose-params", default=None,
+                        help="trained pose-stack .msgpack; CI default: the "
+                             "diverse-distribution train-once cache "
+                             "(diverse_pose_params). NOTE: extraction "
+                             "quality requires a pose_mode='diverse' fit — "
+                             "a MOTIONS-only fit collapses out-of-"
+                             "distribution limb placements and flattens "
+                             "the action signal (random_humanoid_pose)")
+    parser.add_argument("--clips", type=int, default=6)
+    parser.add_argument("--n-frames", type=int, default=16)
+    parser.add_argument("--seq-len", type=int, default=8)
+    parser.add_argument("--way", type=int, default=5)
+    parser.add_argument("--epochs", type=int, default=25)
+    parser.add_argument("--n-task", type=int, default=160)
+    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--repeats", type=int, default=5)
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args()
+
+    from isbfsar_tpu.configs import CameraIntrinsics
+    from isbfsar_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
+    if args.production:
+        from isbfsar_tpu.models.effnetv2 import V2_L
+
+        assert args.pose_params, "--production requires --pose-params"
+        kw = dict(frame_hw=(480, 640), intrinsics=CameraIntrinsics(),
+                  yolo_width=1.0, yolo_input_size=256, crop_size=256,
+                  backbone_stages=V2_L)
+    else:
+        from isbfsar_tpu.train.posestack import CI_FRAME_HW, CI_INTRINSICS
+
+        kw = dict(frame_hw=CI_FRAME_HW, intrinsics=CI_INTRINSICS,
+                  yolo_width=0.25, yolo_input_size=128, crop_size=128)
+
+    if args.pose_params:
+        from flax import serialization
+
+        with open(args.pose_params, "rb") as f:
+            pose_params = serialization.msgpack_restore(f.read())
+    else:
+        from isbfsar_tpu.train.posestack import diverse_pose_params
+
+        pose_params = diverse_pose_params()
+
+    receipt = run_workflow(
+        pose_params, args.workdir, clips_per_class=args.clips,
+        n_frames=args.n_frames, seq_len=args.seq_len, way=args.way,
+        n_epochs=args.epochs, n_task=args.n_task, batch_size=args.batch,
+        fsos_repeats=args.repeats, seed=args.seed, **kw,
+    )
+    print("[synth_workflow:receipt] " + json.dumps(receipt))
+
+
+if __name__ == "__main__":
+    main()

@@ -37,6 +37,13 @@ def main() -> None:
     parser.add_argument("--empty-frac", type=float, default=0.12,
                         help="fraction of person-free training scenes "
                              "(raise to suppress empty-scene false positives)")
+    parser.add_argument("--pose-mode", choices=["motions", "diverse"],
+                        default="motions",
+                        help="'diverse' trains on random whole-space "
+                             "articulations + the 16-class action library "
+                             "— required for extraction-quality poses on "
+                             "unseen actions (train/posestack.py "
+                             "random_humanoid_pose)")
     parser.add_argument("--init", default=None,
                         help="warm-start from a previous run's .msgpack "
                              "weights (budget extension / fine-tune; "
@@ -95,6 +102,7 @@ def main() -> None:
             n_steps_det=args.steps_det, n_steps_pose=args.steps_pose,
             batch_size=args.batch, seed=args.seed, log_every=args.log_every,
             init_params=init_params, empty_frac=args.empty_frac,
+            pose_mode=args.pose_mode,
             **kw,
         )
         print(f"[train_posestack] trained in {time.time() - t0:.0f}s")
