@@ -929,7 +929,11 @@ def train_pose_params(
     trainers from those WEIGHTS (optimizer moments restart fresh, so this
     is fine-tuning/budget-extension semantics, not bit-exact resumption;
     expect a small transient in the first resumed steps). Pass a different
-    ``seed`` to draw fresh scenes.
+    ``seed`` to draw fresh scenes. PARTIAL dicts are honored: a dict with
+    only ``"yolo"`` warm-starts the detector and trains the pose nets from
+    scratch (and vice versa) — reuse a proven detector while re-fitting the
+    pose branch at a different crop size, whose param shapes would not
+    transfer anyway.
     """
     import cv2
 
@@ -941,7 +945,7 @@ def train_pose_params(
                                         pose_mode=pose_mode)
     det = YoloTrainer(width=yolo_width, input_size=yolo_input_size,
                       seed=seed, lr=lr_det,
-                      variables=init_params["yolo"] if init_params else None)
+                      variables=init_params.get("yolo") if init_params else None)
     for step in range(n_steps_det):
         imgs, boxes, flags = [], [], []
         for _ in range(batch_size):
@@ -968,7 +972,8 @@ def train_pose_params(
                                          pose_mode=pose_mode)
     pose = HeatmapTrainer(
         intrinsics, crop_size=crop_size, stages=stages, seed=seed, lr=lr_pose,
-        variables={k: init_params[k] for k in ("bbone", "head")} if init_params else None,
+        variables={k: init_params[k] for k in ("bbone", "head")}
+        if init_params and "bbone" in init_params else None,
         huber_beta=pose_huber_beta,
     )
     for step in range(n_steps_pose):
