@@ -54,7 +54,9 @@ class ActionRecognizer:
 
         if params is None:
             params = self._init_params(seed)
-        self.params = params
+        # commit to device once: host-numpy checkpoint trees re-upload on
+        # EVERY jitted call otherwise (~seconds/call over a remote TPU link)
+        self.params = jax.device_put(params)
 
         # Fixed-shape mutable state.
         self.support_data: Dict[str, np.ndarray] = {

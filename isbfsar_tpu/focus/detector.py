@@ -69,7 +69,10 @@ class FocusDetector:
         self.face_det = BlazeFaceLite(dtype=jnp.dtype(config.compute_dtype))
         self.lm_refiner = LandmarkRefiner(dtype=jnp.dtype(config.compute_dtype))
         self.gaze_net = GazeNet(dtype=jnp.dtype(config.compute_dtype))
-        self.params = params if params is not None else self._init_params(seed)
+        # device_put: host-numpy checkpoint trees would re-upload per call
+        self.params = jax.device_put(
+            params if params is not None else self._init_params(seed)
+        )
 
         self.focuses = []
         self.is_close: Optional[bool] = None

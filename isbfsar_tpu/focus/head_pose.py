@@ -31,7 +31,10 @@ class HeadPoseDetector:
         self.crop_size = crop_size
         self.face_det = BlazeFaceLite(dtype=jnp.dtype(self.config.compute_dtype))
         self.hopenet = HopeNet(dtype=jnp.dtype(self.config.compute_dtype))
-        self.params = params if params is not None else self._init(seed)
+        # device_put: host-numpy checkpoint trees would re-upload per call
+        self.params = jax.device_put(
+            params if params is not None else self._init(seed)
+        )
         self._forward = jax.jit(self._forward_impl)
 
     def _init(self, seed: int):

@@ -34,7 +34,8 @@ class HeadDetector:
             params = jax.jit(
                 lambda k: self.net.init(k, jnp.zeros((1, input_size, input_size, 3)))
             )(jax.random.key(seed))
-        self.params = params
+        # device_put: host-numpy checkpoint trees would re-upload per call
+        self.params = jax.device_put(params)
         self._forward = jax.jit(self._forward_impl)
 
     def _forward_impl(self, params, frame):
@@ -62,7 +63,10 @@ class MutualGazeDetector:
         self.detector_net = HeadDetectorNet()
         self.backbone = resnet50() if config.backbone == "resnet50" else resnet18()
         self.classifier = BinaryGazeClassifier()
-        self.params = params if params is not None else self._init(seed)
+        # device_put: host-numpy checkpoint trees would re-upload per call
+        self.params = jax.device_put(
+            params if params is not None else self._init(seed)
+        )
         self._forward = jax.jit(self._forward_impl)
 
     def _init(self, seed: int):

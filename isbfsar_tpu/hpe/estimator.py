@@ -112,7 +112,14 @@ class HumanPoseEstimator:
         else:
             self._tta = None
 
-        self.params = params if params is not None else self._init_params(seed)
+        # Commit params to the device ONCE. Restored checkpoints arrive as
+        # host numpy trees; passing those to a jitted call re-uploads every
+        # array each call — ~20-30 s/call for the production stack through
+        # the remote-TPU relay (measured round 3) vs ~50 ms with committed
+        # params. No-op for trees that already live on the device.
+        self.params = jax.device_put(
+            params if params is not None else self._init_params(seed)
+        )
         self._estimate_jit = jax.jit(self._estimate_impl)
         self._box_jit = jax.jit(self._box_impl)
 

@@ -1048,6 +1048,44 @@ def diverse_pose_params():
     )
 
 
+# Extraction-grade budgets: the offline AR workflow needs the estimator to
+# TRACK motion, not just localize pose. Round-3 tracking-slope study (regress
+# root-relative estimate deviations on GT deviations over a clip): the 128-
+# crop fits read out through a 4x4 heatmap whose quantization collapses
+# temporal signal — slope 0.14 at the CI budget, 0.33 after 3000 extra steps
+# (tight huber_beta=0.02). Doubling decode resolution (crop 256 -> 8x8, the
+# same lever that tightened ABSOLUTE error 3.3x for the production fit) with
+# a 6000-step pose-only fit reaches slope ~0.5 and lifts extracted-tree 1-NN
+# class separability 0.36 -> 0.71 (GT-joint ceiling 0.98) — enough signal for
+# episodic TRX training (tools/synth_workflow.py). The detector is reused
+# from :func:`diverse_pose_params` (partial init_params warm-start); only the
+# pose branch is refit at the larger crop.
+CI_EXTRACT_BUDGETS = dict(n_steps_det=0, n_steps_pose=6000, batch_size=8,
+                          crop_size=256, seed=12, pose_huber_beta=0.02)
+
+
+def diverse_pose_params_256():
+    """Extraction-grade diverse fit: 256 crop (8x8 decode), 6000 pose steps.
+
+    The fit the offline AR workflow uses (see CI_EXTRACT_BUDGETS rationale).
+    Train-once cached; ~22 min cold on the TPU, longer on CPU — warm suites
+    load it from the params cache like every other trained fixture."""
+    from isbfsar_tpu.utils.cache import cached_params
+
+    def build():
+        base = diverse_pose_params()
+        return train_pose_params(CI_FRAME_HW, CI_INTRINSICS,
+                                 pose_mode="diverse",
+                                 init_params={"yolo": base["yolo"]},
+                                 **CI_EXTRACT_BUDGETS)
+
+    return cached_params(
+        f"posestack-diverse256:{CI_INTRINSICS!r}:{CI_FRAME_HW!r}:"
+        f"{sorted(CI_EXTRACT_BUDGETS.items())!r}",
+        build, version="1",
+    )
+
+
 def evaluate_pose_stack(
     estimator,
     frame_hw: Tuple[int, int],

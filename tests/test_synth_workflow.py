@@ -1,0 +1,111 @@
+"""The reference's full offline AR loop, certified end to end in one test:
+
+    render action videos -> extract skeletons with the TRAINED pose stack
+    at the reference 0.3 gate -> episodic TRX training -> FSOS evaluation
+    on DISJOINT held-out classes
+
+i.e. data production (reference extract_skeleton_rgb_from_nturgbd.py) feeds
+training (train.py) feeds the published benchmark protocol (compute_fsos.py)
+— with the framework's own synthetic-supervision weights, no real dataset,
+and no confidence-gate bypass. The FSOS stage scores classes TRX never saw,
+exactly like the reference's NTU train/test class split.
+
+The capstone is gated on EXTRACTION QUALITY, which took a round-3 study to
+reach: the original CI pose fit (128 crop -> 4x4 heatmap decode) collapsed
+temporal motion (tracking slope 0.14, extracted-tree 1-NN separability 0.36
+vs a 0.98 GT-joint ceiling), leaving TRX stuck at chance. The extraction-
+grade fit (diverse_pose_params_256: 256 crop -> 8x8 decode, 6000 pose
+steps) plus NTU-like subject scale (z 1.8-2.4) reaches slope ~0.5 / 1-NN
+0.79 — enough signal to learn. Full story: CI_EXTRACT_BUDGETS in
+train/posestack.py and docs/PERF.md.
+
+Receipt (CPU, CI budgets, round 3, seed 0): train fs_acc 0.79 / os_acc
+0.75; FSOS on the 7 held-out classes 5-way: FS 0.59 +/- 0.10, OS 0.52 +/-
+0.02, FSOS 0.43 +/- 0.01 (FS chance: 0.2). Thresholds below sit WELL under
+those points: estimation noise, tiny budgets and cross-platform drift (env
+gotcha: cached FMA variance) all wiggle them run-to-run.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+pytest.importorskip("cv2")
+
+from isbfsar_tpu.train.posestack import (
+    ACTION_TEST_CLASSES,
+    ACTION_TRAIN_CLASSES,
+    MOTIONS,
+    diverse_pose_params_256,
+    humanoid_pose,
+)
+from isbfsar_tpu.utils.cache import DEFAULT_PARAMS_CACHE_DIR
+
+from tools.synth_workflow import run_workflow
+
+
+class TestActionLibrary:
+    def test_classes_are_disjoint_and_registered(self):
+        train, test = set(ACTION_TRAIN_CLASSES), set(ACTION_TEST_CLASSES)
+        assert not train & test, "train/test class leakage"
+        assert len(train) >= 5 + 1  # way + an unknown source
+        assert len(test) >= 5 + 1
+
+    def test_all_motions_render_finite_and_distinct(self):
+        """Every class's root-relative trajectory — the TRX input signal —
+        is finite and separated from every other class's."""
+        classes = sorted(set(ACTION_TRAIN_CLASSES + ACTION_TEST_CLASSES))
+        trajs = {}
+        for m in classes:
+            T = np.stack([humanoid_pose(t, m)
+                          for t in np.linspace(0, 1, 12, endpoint=False)])
+            assert np.isfinite(T).all(), m
+            trajs[m] = T - T[:, :1]
+        for i, a in enumerate(classes):
+            for b in classes[i + 1:]:
+                d = np.abs(trajs[a] - trajs[b]).mean()
+                assert d > 0.005, f"{a} vs {b} nearly identical ({d:.4f})"
+
+    def test_pose_training_distribution_unchanged(self):
+        """The action library must NOT leak into MOTIONS — the detection/
+        pose trainers' scene distribution (and the cached trained fixtures
+        keyed on it) stay byte-stable."""
+        assert MOTIONS == ("idle", "wave", "squat", "walk")
+
+
+class TestFullOfflineLoop:
+    def test_render_extract_train_fsos(self):
+        """The capstone: every offline stage chained, scored on held-out
+        classes. Budgets match tools/synth_workflow.py's CI defaults."""
+        from isbfsar_tpu.train.posestack import CI_FRAME_HW, CI_INTRINSICS
+
+        # rendering + extraction resume inside the params cache dir: warm
+        # suites skip ~2 min of video decode + per-frame estimation (the
+        # trees are a pure function of the cached pose params + the seeds)
+        workdir = os.path.join(
+            os.environ.get("ISBFSAR_PARAMS_CACHE", DEFAULT_PARAMS_CACHE_DIR),
+            "synthwf_ci_v4",
+        )
+        receipt = run_workflow(
+            diverse_pose_params_256(), workdir, frame_hw=CI_FRAME_HW,
+            intrinsics=CI_INTRINSICS, clips_per_class=8, n_epochs=40,
+            seed=0, log=False,
+        )
+
+        # the 0.3 gate must actually pass the data (a broken detector would
+        # skip clips and silently shrink the dataset)
+        total_clips = (receipt["train_classes"] + receipt["test_classes"]) \
+            * receipt["clips_per_class"] + receipt["test_classes"] * 2
+        assert receipt["skipped_clips"] <= total_clips * 0.1, receipt
+
+        # training must learn its 8 seen classes (receipt 0.79; chance 0.2)
+        assert receipt["train_fs_acc"] >= 0.60, receipt
+
+        # the protocol scores 7 NEVER-SEEN classes, 5-way: chance is 0.2
+        # for FS. Receipt points: FS 0.59 / OS 0.52 / FSOS 0.43 (module
+        # docstring); thresholds leave room for budget-level variance while
+        # still requiring clearly-above-chance generalization.
+        assert receipt["fsos"]["FS-ACC"] >= 0.35, receipt
+        assert receipt["fsos"]["OS-ACC"] >= 0.40, receipt
+        assert receipt["fsos"]["FSOS-ACC"] >= 0.28, receipt

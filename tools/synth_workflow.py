@@ -96,7 +96,7 @@ def run_workflow(
     intrinsics,
     yolo_width: float = 0.25,
     yolo_input_size: int = 128,
-    crop_size: int = 128,
+    crop_size: int = 256,
     backbone_stages=None,
     train_classes: Optional[Sequence[str]] = None,
     test_classes: Optional[Sequence[str]] = None,
@@ -109,6 +109,7 @@ def run_workflow(
     n_task: int = 160,
     batch_size: int = 8,
     fsos_repeats: int = 5,
+    z_range: Tuple[float, float] = (1.8, 2.4),
     seed: int = 0,
     log: bool = True,
 ) -> Dict:
@@ -146,12 +147,20 @@ def run_workflow(
         "test_q": os.path.join(workdir, "videos_test_queries"),
         "test_ex": os.path.join(workdir, "videos_test_exemplars"),
     }
+    # z_range sizes the subject's apparent scale to the camera. The CI
+    # default keeps the person 135-180 px tall in the 240-px frame (the NTU
+    # subject/frame ratio, roughly): extracted-tree 1-NN separability with
+    # the extraction-grade fit measured 0.71 at z (2.0, 3.2) vs 0.79 at
+    # (1.8, 2.4) — more pixels on target is more action signal.
     render_video_library(vids["train"], train_classes, clips_per_class,
-                         n_frames, frame_hw, intrinsics, seed=seed)
+                         n_frames, frame_hw, intrinsics, seed=seed,
+                         z_range=z_range)
     render_video_library(vids["test_q"], test_classes, clips_per_class,
-                         n_frames, frame_hw, intrinsics, seed=seed + 1)
+                         n_frames, frame_hw, intrinsics, seed=seed + 1,
+                         z_range=z_range)
     render_video_library(vids["test_ex"], test_classes, exemplar_clips,
-                         n_frames, frame_hw, intrinsics, seed=seed + 2)
+                         n_frames, frame_hw, intrinsics, seed=seed + 2,
+                         z_range=z_range)
     t_render = time.time()
     say(f"rendered {len(train_classes)}+{len(test_classes)} classes "
         f"in {t_render - t0:.0f}s")
@@ -240,12 +249,14 @@ def main() -> None:
                              "(requires --pose-params)")
     parser.add_argument("--pose-params", default=None,
                         help="trained pose-stack .msgpack; CI default: the "
-                             "diverse-distribution train-once cache "
-                             "(diverse_pose_params). NOTE: extraction "
-                             "quality requires a pose_mode='diverse' fit — "
-                             "a MOTIONS-only fit collapses out-of-"
-                             "distribution limb placements and flattens "
-                             "the action signal (random_humanoid_pose)")
+                             "extraction-grade diverse-distribution cache "
+                             "(diverse_pose_params_256). NOTE: extraction "
+                             "quality requires a pose_mode='diverse' fit at "
+                             "a 256 crop — a MOTIONS-only fit collapses "
+                             "out-of-distribution limb placements, and a "
+                             "128-crop fit's 4x4 heatmap decode collapses "
+                             "temporal motion (tracking slope 0.14 vs 0.48; "
+                             "see CI_EXTRACT_BUDGETS in train/posestack.py)")
     parser.add_argument("--clips", type=int, default=6)
     parser.add_argument("--n-frames", type=int, default=16)
     parser.add_argument("--seq-len", type=int, default=8)
@@ -273,7 +284,7 @@ def main() -> None:
         from isbfsar_tpu.train.posestack import CI_FRAME_HW, CI_INTRINSICS
 
         kw = dict(frame_hw=CI_FRAME_HW, intrinsics=CI_INTRINSICS,
-                  yolo_width=0.25, yolo_input_size=128, crop_size=128)
+                  yolo_width=0.25, yolo_input_size=128, crop_size=256)
 
     if args.pose_params:
         from flax import serialization
@@ -281,9 +292,9 @@ def main() -> None:
         with open(args.pose_params, "rb") as f:
             pose_params = serialization.msgpack_restore(f.read())
     else:
-        from isbfsar_tpu.train.posestack import diverse_pose_params
+        from isbfsar_tpu.train.posestack import diverse_pose_params_256
 
-        pose_params = diverse_pose_params()
+        pose_params = diverse_pose_params_256()
 
     receipt = run_workflow(
         pose_params, args.workdir, clips_per_class=args.clips,
