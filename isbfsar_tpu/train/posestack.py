@@ -107,6 +107,19 @@ ACTION_TEST_CLASSES = (
     "march", "punch_l", "jumping_jack", "twist", "touch_head", "shrug",
     "sway",
 )
+# Extended train-side classes for production-scale runs
+# (tools/synth_workflow.py --production trains on TRAIN + EXTRA = 16
+# classes). More class diversity is the discriminator's training signal —
+# the reference trains its open-set head against 100 NTU classes
+# (modules/ar/utils/train.py); 8 synthetic classes under-feed it. Several
+# extras are deliberate HARD negatives for the held-out set (turn vs twist,
+# punch_r vs punch_l, drink vs touch_head): mirror/near-miss classes that
+# force the embedding to encode laterality and joint-group identity rather
+# than gross motion energy. CI keeps the 8-class default (suite cost).
+ACTION_EXTRA_CLASSES = (
+    "jump", "kick_l", "wave_l", "reach_fwd", "turn", "lunge", "drink",
+    "punch_r",
+)
 
 # joints that ride the torso for trunk motions (bow/twist/lean)
 _UPPER = (
@@ -170,10 +183,10 @@ def humanoid_pose(t: float, motion: str = "idle", phase: float = 0.0) -> np.ndar
     vertically, ``walk`` counter-swings legs and arms in z.
 
     Beyond the four pose-training motions, the AR action library
-    (ACTION_TRAIN_CLASSES / ACTION_TEST_CLASSES) adds twelve more classes,
-    each exercising a distinct joint group x axis combination so the
-    root-relative 30-joint trajectory — the TRX input signal — separates
-    them (tools/synth_workflow.py is the consumer).
+    (ACTION_TRAIN_CLASSES / ACTION_EXTRA_CLASSES / ACTION_TEST_CLASSES)
+    adds twenty more classes, each exercising a distinct joint group x axis
+    combination so the root-relative 30-joint trajectory — the TRX input
+    signal — separates them (tools/synth_workflow.py is the consumer).
     """
     assert motion in MOTIONS or motion in _ACTIONS, motion
     s = np.sin(2 * np.pi * t + phase)
@@ -364,6 +377,91 @@ def _act_sway(j, s, t, phase):
     j[u, 2] += (-j[u, 1]) * 0.38 * c
 
 
+def _act_jump(j, s, t, phase):
+    # the WHOLE body (feet included) oscillates vertically — the only class
+    # whose global y translates everything; arms counter-swing for signal
+    h = 0.18 * max(s, 0.0)          # airborne half-cycle only
+    j[:, 1] -= h
+    ang = 0.25 + 0.5 * max(s, 0.0)  # arms flare out on the way up
+    _arm_chain(j, "l", ang)
+    _arm_chain(j, "r", ang)
+
+
+def _act_kick_l(j, s, t, phase):
+    # mirror of kick_r: LEFT leg swings forward/up (laterality signal)
+    lift = 0.5 * (1 + s)
+    j[_J["l_knee"]] += (0, -0.22 * lift, -0.28 * lift)
+    for p in ("l_ankle", "l_foot"):
+        j[_J[p]] += (0, -0.38 * lift, -0.52 * lift)
+
+
+def _act_wave_l(j, s, t, phase):
+    # mirror of the MOTIONS 'wave': left arm raised, forearm oscillating
+    sh = j[_J["l_shoulder"]]
+    j[_J["l_elbow"]] = sh + (0.26, -0.06, 0)
+    ang = 0.9 + 0.5 * s
+    fore = 0.26 * np.asarray([np.sin(ang), -np.cos(ang), 0.0])
+    j[_J["l_wrist"]] = j[_J["l_elbow"]] + fore
+    j[_J["l_hand"]] = j[_J["l_elbow"]] + fore * 1.3
+
+
+def _act_reach_fwd(j, s, t, phase):
+    # both arms sweep hanging<->horizontal in the SAGITTAL plane
+    # (raise_both is the frontal-plane counterpart)
+    ang = 0.8 + 0.7 * s
+    _arm_chain(j, "l", ang, plane="sagittal")
+    _arm_chain(j, "r", ang, plane="sagittal")
+
+
+def _act_turn(j, s, t, phase):
+    # WHOLE-body yaw about the vertical axis, hips and legs included —
+    # the held-out 'twist' rotates the upper body only
+    th = 0.9 * s
+    x, z = j[:, 0].copy(), j[:, 2].copy()
+    j[:, 0] = x * np.cos(th) - z * np.sin(th)
+    j[:, 2] = x * np.sin(th) + z * np.cos(th)
+
+
+def _act_lunge(j, s, t, phase):
+    # right leg strides forward while the pelvis and torso drop and shift
+    # forward; left leg trails — asymmetric lower-body y+z (squat is
+    # symmetric pure-y, kicks lift a leg without the weight drop)
+    d = 0.5 * (1 + s)
+    j[_J["r_knee"]] += (0, 0.02 * d, -0.30 * d)
+    for p in ("r_ankle", "r_foot"):
+        j[_J[p]] += (0, 0.0, -0.38 * d)
+    upper = [i for i in range(32) if i not in
+             (_J["l_knee"], _J["r_knee"], _J["l_ankle"], _J["r_ankle"],
+              _J["l_foot"], _J["r_foot"])]
+    j[upper, 1] += 0.14 * d
+    j[upper, 2] -= 0.12 * d
+
+
+def _act_drink(j, s, t, phase):
+    # ONE hand rises from hanging to the jaw (touch_head raises both to the
+    # ears); elbow stays low and forward — single-sided arm flexion
+    r = 0.5 * (1 + s)
+    base_e = np.asarray(j[_J["r_elbow"]])
+    base_w = np.asarray(j[_J["r_wrist"]])
+    j[_J["r_elbow"]] = base_e * (1 - r) + r * np.asarray([-0.20, -0.24, -0.12])
+    j[_J["r_wrist"]] = base_w * (1 - r) + r * np.asarray([-0.06, -0.50, -0.10])
+    j[_J["r_hand"]] = j[_J["r_wrist"]] + (0.02, -0.05, -0.02)
+
+
+def _act_punch_r(j, s, t, phase):
+    # mirror of the held-out punch_l: right fist thrusts forward with a
+    # shoulder turn, left in static guard
+    ext = 0.5 * (1 + s)
+    j[_J["r_shoulder"], 2] -= 0.10 * ext
+    j[_J["l_shoulder"], 2] += 0.10 * ext
+    j[_J["r_elbow"]] = (-0.14, -0.32, -0.26 * ext)
+    j[_J["r_wrist"]] = (-0.06, -0.34, -0.18 - 0.45 * ext)
+    j[_J["r_hand"]] = (-0.04, -0.34, -0.24 - 0.50 * ext)
+    j[_J["l_elbow"]] = (0.22, -0.28, -0.08)
+    j[_J["l_wrist"]] = (0.12, -0.34, -0.16)
+    j[_J["l_hand"]] = (0.10, -0.35, -0.18)
+
+
 _ACTIONS = {
     "raise_both": _act_raise_both,
     "clap": _act_clap,
@@ -377,8 +475,17 @@ _ACTIONS = {
     "touch_head": _act_touch_head,
     "shrug": _act_shrug,
     "sway": _act_sway,
+    "jump": _act_jump,
+    "kick_l": _act_kick_l,
+    "wave_l": _act_wave_l,
+    "reach_fwd": _act_reach_fwd,
+    "turn": _act_turn,
+    "lunge": _act_lunge,
+    "drink": _act_drink,
+    "punch_r": _act_punch_r,
 }
-assert set(ACTION_TRAIN_CLASSES + ACTION_TEST_CLASSES) - set(MOTIONS) == set(_ACTIONS)
+assert set(ACTION_TRAIN_CLASSES + ACTION_EXTRA_CLASSES + ACTION_TEST_CLASSES
+           ) - set(MOTIONS) == set(_ACTIONS)
 
 
 # per-joint drawn radius (meters) for the exact bbox of the rendering
@@ -970,10 +1077,17 @@ def train_pose_params(
     # n_steps_det (the gazefocus budget-decoupling rule)
     pose_sampler = SyntheticHumanSampler(frame_hw, intrinsics, seed=seed + 1,
                                          pose_mode=pose_mode)
+    pose_warm = {k for k in ("bbone", "head") if init_params and k in init_params}
+    if len(pose_warm) == 1:
+        raise ValueError(
+            f"init_params has {sorted(pose_warm)} but the pose branch warm-"
+            f"start needs BOTH 'bbone' and 'head' (or neither, to train the "
+            f"branch from scratch)"
+        )
     pose = HeatmapTrainer(
         intrinsics, crop_size=crop_size, stages=stages, seed=seed, lr=lr_pose,
         variables={k: init_params[k] for k in ("bbone", "head")}
-        if init_params and "bbone" in init_params else None,
+        if pose_warm else None,
         huber_beta=pose_huber_beta,
     )
     for step in range(n_steps_pose):
@@ -1027,6 +1141,13 @@ def ci_pose_params():
     )
 
 
+# Cache-key material for the diverse CI fixture. The 256 extraction-grade
+# fixture warm-starts its detector from this one, so ITS key embeds this
+# string — retraining the base (budget or version bump) invalidates both.
+_DIVERSE_KEY_V = ("1", lambda: (f"posestack-diverse:{CI_INTRINSICS!r}:"
+                                f"{CI_FRAME_HW!r}:{sorted(CI_BUDGETS.items())!r}"))
+
+
 def diverse_pose_params():
     """CI-budget pose stack trained on the DIVERSE pose distribution.
 
@@ -1040,11 +1161,10 @@ def diverse_pose_params():
     from isbfsar_tpu.utils.cache import cached_params
 
     return cached_params(
-        f"posestack-diverse:{CI_INTRINSICS!r}:{CI_FRAME_HW!r}:"
-        f"{sorted(CI_BUDGETS.items())!r}",
+        _DIVERSE_KEY_V[1](),
         lambda: train_pose_params(CI_FRAME_HW, CI_INTRINSICS,
                                   pose_mode="diverse", **CI_BUDGETS),
-        version="1",
+        version=_DIVERSE_KEY_V[0],
     )
 
 
@@ -1081,7 +1201,10 @@ def diverse_pose_params_256():
 
     return cached_params(
         f"posestack-diverse256:{CI_INTRINSICS!r}:{CI_FRAME_HW!r}:"
-        f"{sorted(CI_EXTRACT_BUDGETS.items())!r}",
+        f"{sorted(CI_EXTRACT_BUDGETS.items())!r}:"
+        # detector provenance: warm-started from the diverse base fixture —
+        # a base retrain (budget/version bump) must invalidate this entry too
+        f"base=v{_DIVERSE_KEY_V[0]}:{_DIVERSE_KEY_V[1]()}",
         build, version="1",
     )
 

@@ -28,36 +28,40 @@ budgets and cross-platform drift (env gotcha: cached FMA variance) all
 wiggle them run-to-run.
 """
 
-import os
-
 import numpy as np
 import pytest
 
 pytest.importorskip("cv2")
 
 from isbfsar_tpu.train.posestack import (
+    ACTION_EXTRA_CLASSES,
     ACTION_TEST_CLASSES,
     ACTION_TRAIN_CLASSES,
     MOTIONS,
     diverse_pose_params_256,
     humanoid_pose,
 )
-from isbfsar_tpu.utils.cache import DEFAULT_PARAMS_CACHE_DIR
 
 from tools.synth_workflow import run_workflow
 
 
 class TestActionLibrary:
     def test_classes_are_disjoint_and_registered(self):
-        train, test = set(ACTION_TRAIN_CLASSES), set(ACTION_TEST_CLASSES)
+        train = set(ACTION_TRAIN_CLASSES) | set(ACTION_EXTRA_CLASSES)
+        test = set(ACTION_TEST_CLASSES)
         assert not train & test, "train/test class leakage"
+        assert not set(ACTION_TRAIN_CLASSES) & set(ACTION_EXTRA_CLASSES)
         assert len(train) >= 5 + 1  # way + an unknown source
         assert len(test) >= 5 + 1
 
     def test_all_motions_render_finite_and_distinct(self):
         """Every class's root-relative trajectory — the TRX input signal —
-        is finite and separated from every other class's."""
-        classes = sorted(set(ACTION_TRAIN_CLASSES + ACTION_TEST_CLASSES))
+        is finite and separated from every other class's (the extended
+        production classes included: the hard negatives — turn/twist,
+        punch_r/punch_l, drink/touch_head, kick_l/kick_r — must be close
+        in style yet still pass the separation floor)."""
+        classes = sorted(set(ACTION_TRAIN_CLASSES + ACTION_EXTRA_CLASSES
+                             + ACTION_TEST_CLASSES))
         trajs = {}
         for m in classes:
             T = np.stack([humanoid_pose(t, m)
@@ -82,15 +86,13 @@ class TestFullOfflineLoop:
         classes. Budgets match tools/synth_workflow.py's CI defaults."""
         from isbfsar_tpu.train.posestack import CI_FRAME_HW, CI_INTRINSICS
 
-        # rendering + extraction resume inside the params cache dir: warm
-        # suites skip ~2 min of video decode + per-frame estimation (the
-        # trees are a pure function of the cached pose params + the seeds)
-        workdir = os.path.join(
-            os.environ.get("ISBFSAR_PARAMS_CACHE", DEFAULT_PARAMS_CACHE_DIR),
-            "synthwf_ci_v4",
-        )
+        # workdir=None: run_workflow derives a fingerprint-keyed dir under
+        # the params cache (pose-params bytes + every render/extract knob),
+        # so rendering + extraction resume across warm suites (~2 min
+        # saved) while a retrained fixture or changed config lands in a
+        # FRESH dir instead of resuming stale artifacts.
         receipt = run_workflow(
-            diverse_pose_params_256(), workdir, frame_hw=CI_FRAME_HW,
+            diverse_pose_params_256(), workdir=None, frame_hw=CI_FRAME_HW,
             intrinsics=CI_INTRINSICS, clips_per_class=8, n_epochs=60,
             n_task=160, exemplar_clips=3, seed=0, log=False,
         )
@@ -98,7 +100,8 @@ class TestFullOfflineLoop:
         # the 0.3 gate must actually pass the data (a broken detector would
         # skip clips and silently shrink the dataset)
         total_clips = (receipt["train_classes"] + receipt["test_classes"]) \
-            * receipt["clips_per_class"] + receipt["test_classes"] * 2
+            * receipt["clips_per_class"] \
+            + receipt["test_classes"] * receipt["exemplar_clips"]
         assert receipt["skipped_clips"] <= total_clips * 0.1, receipt
 
         # training must learn its 8 seen classes (receipt 0.94; chance 0.2)

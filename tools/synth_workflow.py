@@ -29,6 +29,7 @@ Production sizes (full pose stack on the TPU, 480x640 frames):
 from __future__ import annotations
 
 import argparse
+import hashlib
 import json
 import os
 import sys
@@ -38,6 +39,25 @@ from typing import Dict, Optional, Sequence, Tuple
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def workflow_fingerprint(pose_params, **render_extract_cfg) -> str:
+    """Digest of everything the workdir's RESUMABLE artifacts depend on.
+
+    Rendering and extraction resume by file existence, so a workdir built
+    under one configuration must never be silently reused under another
+    (stale clips rendered at an old z_range, or trees extracted with old
+    pose weights, would poison the receipt while claiming the new config).
+    The digest covers the pose params' bytes plus every render/extract
+    knob; ``run_workflow`` stores it in ``workdir/manifest.json`` and
+    refuses a mismatched resume."""
+    h = hashlib.sha256()
+    import jax
+
+    for leaf in jax.tree.leaves(pose_params):
+        h.update(np.asarray(leaf).tobytes())
+    h.update(repr(sorted(render_extract_cfg.items())).encode())
+    return h.hexdigest()[:16]
 
 
 def render_video_library(
@@ -91,7 +111,7 @@ def render_video_library(
 
 def run_workflow(
     pose_params,
-    workdir: str,
+    workdir: Optional[str],
     frame_hw: Tuple[int, int],
     intrinsics,
     yolo_width: float = 0.25,
@@ -140,6 +160,42 @@ def run_workflow(
     def say(msg):
         if log:
             print(f"[synth_workflow] {msg}", flush=True)
+
+    # refuse to resume a workdir built under a different configuration —
+    # render/extract resume by file existence and would silently mix data
+    fp = workflow_fingerprint(
+        pose_params, frame_hw=tuple(frame_hw), intrinsics=repr(intrinsics),
+        yolo_width=yolo_width, yolo_input_size=yolo_input_size,
+        crop_size=crop_size, stages=repr(backbone_stages),
+        train_classes=tuple(train_classes), test_classes=tuple(test_classes),
+        clips_per_class=clips_per_class, exemplar_clips=exemplar_clips,
+        n_frames=n_frames, z_range=tuple(z_range), seed=seed,
+    )
+    if workdir is None:
+        # fingerprint-keyed dir under the params cache: a retrained fixture
+        # or changed config lands in a FRESH dir and resumes only itself
+        from isbfsar_tpu.utils.cache import DEFAULT_PARAMS_CACHE_DIR
+
+        workdir = os.path.join(
+            os.environ.get("ISBFSAR_PARAMS_CACHE", DEFAULT_PARAMS_CACHE_DIR),
+            f"synthwf_{fp}",
+        )
+        say(f"workdir (fingerprint-keyed): {workdir}")
+    os.makedirs(workdir, exist_ok=True)
+    manifest = os.path.join(workdir, "manifest.json")
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            prior = json.load(f).get("fingerprint")
+        if prior != fp:
+            raise ValueError(
+                f"workdir {workdir} was built under a different "
+                f"configuration (manifest fingerprint {prior} != {fp}): its "
+                f"resumable renders/extractions would silently poison this "
+                f"run — use a fresh --workdir (or delete this one)"
+            )
+    else:
+        with open(manifest, "w") as f:
+            json.dump({"fingerprint": fp}, f)
 
     # 1. render the video libraries (train / test-queries / test-exemplars)
     vids = {
@@ -222,6 +278,8 @@ def run_workflow(
         "train_classes": len(train_classes),
         "test_classes": len(test_classes),
         "clips_per_class": clips_per_class,
+        "exemplar_clips": exemplar_clips,
+        "fingerprint": fp,
         "skipped_clips": n_skipped,
         "way": way,
         "seq_len": seq_len,
@@ -243,7 +301,11 @@ def run_workflow(
 
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--workdir", required=True)
+    parser.add_argument("--workdir", default=None,
+                        help="artifact dir (renders/trees resume in it; a "
+                             "manifest refuses resumes under a changed "
+                             "config). Default: a fingerprint-keyed dir "
+                             "under the params cache")
     parser.add_argument("--production", action="store_true",
                         help="full-size pose stack on 480x640 frames "
                              "(requires --pose-params)")
@@ -257,6 +319,15 @@ def main() -> None:
                              "128-crop fit's 4x4 heatmap decode collapses "
                              "temporal motion (tracking slope 0.14 vs 0.48; "
                              "see CI_EXTRACT_BUDGETS in train/posestack.py)")
+    parser.add_argument("--crop-size", type=int, default=None,
+                        help="pose-branch crop size; MUST match the crop "
+                             "the --pose-params checkpoint was trained at "
+                             "(the nets are fully convolutional, so a "
+                             "mismatch runs without error but decodes "
+                             "through a mis-calibrated heatmap grid and "
+                             "silently collapses extraction quality). "
+                             "Defaults: 256 for both CI and --production — "
+                             "pass 128 for a legacy 128-crop fit")
     parser.add_argument("--clips", type=int, default=6)
     parser.add_argument("--n-frames", type=int, default=16)
     parser.add_argument("--seq-len", type=int, default=8)
@@ -275,16 +346,29 @@ def main() -> None:
 
     if args.production:
         from isbfsar_tpu.models.effnetv2 import V2_L
+        from isbfsar_tpu.train.posestack import (
+            ACTION_EXTRA_CLASSES,
+            ACTION_TRAIN_CLASSES,
+        )
 
         assert args.pose_params, "--production requires --pose-params"
+        # production trains TRX on the EXTENDED 16-class library (the CI
+        # default is the 8-class base set — suite cost): class diversity is
+        # the open-set discriminator's training signal, and the extras
+        # include deliberate hard negatives for the held-out classes
+        # (turn/twist, punch_r/punch_l, drink/touch_head)
         kw = dict(frame_hw=(480, 640), intrinsics=CameraIntrinsics(),
                   yolo_width=1.0, yolo_input_size=256, crop_size=256,
-                  backbone_stages=V2_L)
+                  backbone_stages=V2_L,
+                  train_classes=ACTION_TRAIN_CLASSES + ACTION_EXTRA_CLASSES)
     else:
         from isbfsar_tpu.train.posestack import CI_FRAME_HW, CI_INTRINSICS
 
         kw = dict(frame_hw=CI_FRAME_HW, intrinsics=CI_INTRINSICS,
                   yolo_width=0.25, yolo_input_size=128, crop_size=256)
+
+    if args.crop_size:
+        kw["crop_size"] = args.crop_size
 
     if args.pose_params:
         from flax import serialization
