@@ -116,6 +116,9 @@ ACTION_TEST_CLASSES = (
 # punch_r vs punch_l, drink vs touch_head): mirror/near-miss classes that
 # force the embedding to encode laterality and joint-group identity rather
 # than gross motion energy. CI keeps the 8-class default (suite cost).
+# NOTE: these classes are NOT in the pose-training scene library
+# (_POSE_SCENE_ACTIONS below stays frozen), so the pose nets meet them as
+# genuinely unseen articulations — and the cached fixtures stay valid.
 ACTION_EXTRA_CLASSES = (
     "jump", "kick_l", "wave_l", "reach_fwd", "turn", "lunge", "drink",
     "punch_r",
@@ -487,6 +490,18 @@ _ACTIONS = {
 assert set(ACTION_TRAIN_CLASSES + ACTION_EXTRA_CLASSES + ACTION_TEST_CLASSES
            ) - set(MOTIONS) == set(_ACTIONS)
 
+# The pose-training scene library is FROZEN at the original 12-action set:
+# the diverse-mode samplers (random_humanoid_pose / SyntheticHumanSampler)
+# draw from MOTIONS + this tuple ONLY, so the cached trained fixtures and
+# receipts — keyed on budgets, not the library — stay byte-stable, and any
+# class added later (ACTION_EXTRA_CLASSES) is held out from pose training
+# exactly like a real unseen action would be.
+_POSE_SCENE_ACTIONS = (
+    "raise_both", "clap", "kick_r", "bow", "lean", "march", "punch_l",
+    "jumping_jack", "twist", "touch_head", "shrug", "sway",
+)
+assert set(_POSE_SCENE_ACTIONS) <= set(_ACTIONS)
+
 
 # per-joint drawn radius (meters) for the exact bbox of the rendering
 _JOINT_RADIUS = np.full(32, 0.05, np.float32)
@@ -610,7 +625,7 @@ def random_humanoid_pose(rng: np.random.Generator) -> np.ndarray:
     pitch/yaw/lean, and leg raises, layered on a random library motion
     frame so the in-distribution poses stay covered too.
     """
-    base = list(MOTIONS) + list(_ACTIONS)
+    base = list(MOTIONS) + list(_POSE_SCENE_ACTIONS)
     j = humanoid_pose(float(rng.random()), base[rng.integers(len(base))],
                       phase=float(rng.uniform(0, 2 * np.pi)))
     for side in "lr":
@@ -650,8 +665,9 @@ class SyntheticHumanSampler:
     ``pose_mode="motions"`` (default) draws from the four MOTIONS — the
     byte-stable distribution the round-3 fixtures/receipts were trained on.
     ``pose_mode="diverse"`` mixes 50% :func:`random_humanoid_pose` with 50%
-    full action-library motions — the distribution a general-purpose pose
-    net needs (see random_humanoid_pose docstring).
+    library motions (MOTIONS + the frozen ``_POSE_SCENE_ACTIONS`` set) —
+    the distribution a general-purpose pose net needs (see
+    random_humanoid_pose docstring).
     """
 
     def __init__(self, frame_hw: Tuple[int, int] = (240, 320),
@@ -675,7 +691,7 @@ class SyntheticHumanSampler:
                 local = random_humanoid_pose(rng)
                 motion = "random"
             else:
-                lib = list(MOTIONS) + list(_ACTIONS)
+                lib = list(MOTIONS) + list(_POSE_SCENE_ACTIONS)
                 motion = lib[rng.integers(len(lib))]
                 local = humanoid_pose(
                     float(rng.random()) if t is None else t, motion,

@@ -74,10 +74,21 @@ class TestActionLibrary:
                 assert d > 0.005, f"{a} vs {b} nearly identical ({d:.4f})"
 
     def test_pose_training_distribution_unchanged(self):
-        """The action library must NOT leak into MOTIONS — the detection/
-        pose trainers' scene distribution (and the cached trained fixtures
-        keyed on it) stay byte-stable."""
+        """The pose trainers' scene distribution — MOTIONS plus the FROZEN
+        _POSE_SCENE_ACTIONS library the diverse mode samples — must stay
+        byte-stable: the cached trained fixtures and every receipt are
+        keyed on budgets under this exact distribution. New action classes
+        go in ACTION_EXTRA_CLASSES, never here."""
+        from isbfsar_tpu.train.posestack import _POSE_SCENE_ACTIONS
+
         assert MOTIONS == ("idle", "wave", "squat", "walk")
+        assert _POSE_SCENE_ACTIONS == (
+            "raise_both", "clap", "kick_r", "bow", "lean", "march",
+            "punch_l", "jumping_jack", "twist", "touch_head", "shrug",
+            "sway",
+        )
+        # extras must NOT be in the pose-scene library (held-out guarantee)
+        assert not set(ACTION_EXTRA_CLASSES) & set(_POSE_SCENE_ACTIONS)
 
 
 class TestFullOfflineLoop:

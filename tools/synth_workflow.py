@@ -193,6 +193,16 @@ def run_workflow(
                 f"resumable renders/extractions would silently poison this "
                 f"run — use a fresh --workdir (or delete this one)"
             )
+    elif any(os.path.isdir(os.path.join(workdir, d))
+             for d in ("videos_train", "videos_test_queries", "tree_train")):
+        # legacy/foreign dir: has resumable artifacts but no manifest — we
+        # cannot prove they match this configuration, so refuse rather than
+        # stamp the new fingerprint onto unknown data
+        raise ValueError(
+            f"workdir {workdir} contains render/extraction artifacts but no "
+            f"manifest.json (built before fingerprinting, or not by this "
+            f"tool) — use a fresh --workdir, or delete it to re-render"
+        )
     else:
         with open(manifest, "w") as f:
             json.dump({"fingerprint": fp}, f)
