@@ -1,0 +1,142 @@
+"""Pretrained weights bundled with the package.
+
+The reference ships its nets as downloadable weight/engine files the user
+drops into place (reference README.md:31-38 "Download weights" + the
+modules' `.engine`/`.pth` paths in utils/params.py). This repo's analog is
+a committed bundle of the synthetic-supervision fits under
+``isbfsar_tpu/assets/pretrained/``: every file is a
+:func:`isbfsar_tpu.utils.cache.cached_params` entry (flax msgpack of a
+plain numpy pytree) named by its key digest, so the TRAINED fixtures —
+pose stack, extraction-grade pose stack, focus stack — load instantly on a
+fresh machine instead of refitting for minutes.
+
+Consistency contract: a bundle entry is addressed by the SHA of its
+trainer key + version (utils/cache.py `params_cache_digest`). If trainer
+code or budgets move, the digest moves, the stale bundled file is simply
+never consulted again, and `verify()` (pinned by tests/test_pretrained.py)
+fails loudly so the bundle gets regenerated (`tools/bundle_pretrained.py`)
+rather than silently shipping dead weight.
+
+API:
+    >>> from isbfsar_tpu import pretrained
+    >>> pretrained.available()          # name -> description
+    >>> params = pretrained.load("pose-diverse-256")
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Callable, Dict, NamedTuple
+
+from isbfsar_tpu.utils.cache import (
+    BUNDLED_PRETRAINED_DIR,
+    params_cache_digest,
+)
+
+MANIFEST_NAME = "MANIFEST.json"
+
+
+class Spec(NamedTuple):
+    """A bundle-able trained fixture: where its key lives + how to build."""
+
+    key: Callable[[], str]  # exact cached_params key (lazy: reprs of configs)
+    version: str
+    builder: Callable[[], Any]  # the fixture function (trains on miss)
+    description: str
+
+
+def _specs() -> Dict[str, Spec]:
+    # Lazy imports: pulling the trainer modules at package-import time would
+    # drag jax/flax into every `import isbfsar_tpu.pretrained` caller.
+    from isbfsar_tpu.train import gazefocus as gf
+    from isbfsar_tpu.train import posestack as ps
+
+    return {
+        "pose-ci-motions": Spec(
+            ps._CI_KEY_V[1], ps._CI_KEY_V[0], ps.ci_pose_params,
+            "CI pose stack (YOLO + backbone/head) trained on the four-"
+            "MOTIONS scene distribution; the tests/test_posestack.py "
+            "operating point (IoU ~0.7, ~0.1 m root-relative error).",
+        ),
+        "pose-ci-diverse": Spec(
+            ps._DIVERSE_KEY_V[1], ps._DIVERSE_KEY_V[0], ps.diverse_pose_params,
+            "CI pose stack trained on the diverse pose distribution "
+            "(random whole-space articulations + the frozen 12-action "
+            "scene library); detector donor for pose-diverse-256.",
+        ),
+        "pose-diverse-256": Spec(
+            ps._DIVERSE256_KEY_V[1], ps._DIVERSE256_KEY_V[0],
+            ps.diverse_pose_params_256,
+            "Extraction-grade pose stack: 256 crop (8x8 heatmap decode), "
+            "6000 pose steps — the fit the offline AR workflow extracts "
+            "skeletons with (tracking slope 0.48, 1-NN sep 0.79).",
+        ),
+        "focus-ci": Spec(
+            lambda: (f"gazefocus:{gf.CI_FOCUS_CFG!r}:"
+                     f"{sorted(gf.CI_FOCUS_BUDGETS.items())!r}"),
+            "1", gf.ci_focus_params,
+            "CI focus stack (BlazeFaceLite + LandmarkRefiner + GazeNet) "
+            "trained on exact-projective synthetic faces; passes the "
+            "absolute far-branch yaw thresholds in tests/test_gazefocus.py.",
+        ),
+    }
+
+
+def bundle_dir() -> str:
+    return os.environ.get("ISBFSAR_PRETRAINED_DIR", BUNDLED_PRETRAINED_DIR)
+
+
+def _manifest() -> Dict[str, Dict[str, str]]:
+    path = os.path.join(bundle_dir(), MANIFEST_NAME)
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return json.load(f)
+
+
+def available() -> Dict[str, str]:
+    """name -> description for every entry actually present in the bundle."""
+    d = bundle_dir()
+    return {
+        name: meta.get("description", "")
+        for name, meta in _manifest().items()
+        if os.path.exists(os.path.join(d, meta["file"]))
+    }
+
+
+def load(name: str) -> Any:
+    """Restore a bundled params pytree (plain dicts of numpy arrays)."""
+    from flax import serialization
+
+    meta = _manifest().get(name)
+    if meta is None:
+        raise KeyError(
+            f"no bundled pretrained entry {name!r}; available: "
+            f"{sorted(available())}"
+        )
+    with open(os.path.join(bundle_dir(), meta["file"]), "rb") as f:
+        return serialization.msgpack_restore(f.read())
+
+
+def verify() -> Dict[str, str]:
+    """Assert every manifest entry is fresh: its digest (recomputed from the
+    LIVE trainer keys) must equal the shipped filename. Returns
+    name -> digest on success; raises with the stale names otherwise."""
+    specs = _specs()
+    manifest = _manifest()
+    stale, out = [], {}
+    for name, meta in manifest.items():
+        spec = specs.get(name)
+        digest = params_cache_digest(spec.key(), spec.version) if spec else None
+        if spec is None or f"{digest}.msgpack" != meta["file"]:
+            stale.append(name)
+        else:
+            out[name] = digest
+    if stale:
+        raise AssertionError(
+            f"pretrained bundle stale for {stale}: trainer keys/budgets "
+            f"moved since the bundle was built — regenerate with "
+            f"tools/bundle_pretrained.py"
+        )
+    return out

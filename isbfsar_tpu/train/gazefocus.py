@@ -458,3 +458,29 @@ def train_focus_params(
         "lm_refiner": jax.tree.map(np.asarray, lm_trainer.variables),
         "gaze_net": jax.tree.map(np.asarray, gaze_trainer.variables),
     }
+
+
+# CI operating point for the trained focus fixture (tests/test_gazefocus.py
+# and the pretrained bundle share ONE cache entry — the key strings must
+# stay identical). Budgets from the round-2 calibration curves in the test
+# fixture's comment: det 150 (BN settle + anchor-ensemble IoU 0.6-0.9),
+# lm 600 (~2 px frame error, inside the far branch's <4 px yaw budget),
+# gaze 150 (at/away z-separation ~0.2).
+CI_FOCUS_CFG = dataclasses.replace(
+    FocusConfig(), gaze_image_size=64, compute_dtype="float32"
+)
+CI_FOCUS_BUDGETS = dict(n_steps_det=150, n_steps_gaze=150, n_steps_lm=600,
+                        batch_size=6, lr_det=1e-3, lr_gaze=5e-4)
+
+
+def ci_focus_params():
+    """CI-budget trained focus stack (BlazeFaceLite + LandmarkRefiner +
+    GazeNet), train-once cached on disk / shipped in the pretrained bundle
+    (~9 min cold on the CI CPU otherwise)."""
+    from isbfsar_tpu.utils.cache import cached_params
+
+    return cached_params(
+        f"gazefocus:{CI_FOCUS_CFG!r}:{sorted(CI_FOCUS_BUDGETS.items())!r}",
+        lambda: train_focus_params(CI_FOCUS_CFG, **CI_FOCUS_BUDGETS),
+        version="1",
+    )

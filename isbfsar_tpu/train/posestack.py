@@ -1137,6 +1137,12 @@ CI_INTRINSICS = CameraIntrinsics(fx=192.0, fy=192.0, ppx=160.0, ppy=120.0,
 CI_BUDGETS = dict(n_steps_det=700, n_steps_pose=700, batch_size=8,
                   empty_frac=0.2)
 
+# Cache-key material for the motions-distribution CI fixture (version, key
+# builder) — shared by ci_pose_params and the pretrained-bundle registry
+# (isbfsar_tpu/pretrained.py), which must recompute the exact digests.
+_CI_KEY_V = ("1", lambda: (f"posestack:{CI_INTRINSICS!r}:{CI_FRAME_HW!r}:"
+                           f"{sorted(CI_BUDGETS.items())!r}"))
+
 
 def ci_pose_params():
     """CI-budget trained pose stack, train-once cached on disk.
@@ -1150,10 +1156,9 @@ def ci_pose_params():
     from isbfsar_tpu.utils.cache import cached_params
 
     return cached_params(
-        f"posestack:{CI_INTRINSICS!r}:{CI_FRAME_HW!r}:"
-        f"{sorted(CI_BUDGETS.items())!r}",
+        _CI_KEY_V[1](),
         lambda: train_pose_params(CI_FRAME_HW, CI_INTRINSICS, **CI_BUDGETS),
-        version="1",
+        version=_CI_KEY_V[0],
     )
 
 
@@ -1199,6 +1204,14 @@ def diverse_pose_params():
 CI_EXTRACT_BUDGETS = dict(n_steps_det=0, n_steps_pose=6000, batch_size=8,
                           crop_size=256, seed=12, pose_huber_beta=0.02)
 
+# Cache-key material for the extraction-grade fixture (see _CI_KEY_V note).
+# The key embeds the diverse BASE fixture's key: the detector is warm-
+# started from it, so a base retrain must invalidate this entry too.
+_DIVERSE256_KEY_V = ("1", lambda: (
+    f"posestack-diverse256:{CI_INTRINSICS!r}:{CI_FRAME_HW!r}:"
+    f"{sorted(CI_EXTRACT_BUDGETS.items())!r}:"
+    f"base=v{_DIVERSE_KEY_V[0]}:{_DIVERSE_KEY_V[1]()}"))
+
 
 def diverse_pose_params_256():
     """Extraction-grade diverse fit: 256 crop (8x8 decode), 6000 pose steps.
@@ -1216,12 +1229,7 @@ def diverse_pose_params_256():
                                  **CI_EXTRACT_BUDGETS)
 
     return cached_params(
-        f"posestack-diverse256:{CI_INTRINSICS!r}:{CI_FRAME_HW!r}:"
-        f"{sorted(CI_EXTRACT_BUDGETS.items())!r}:"
-        # detector provenance: warm-started from the diverse base fixture —
-        # a base retrain (budget/version bump) must invalidate this entry too
-        f"base=v{_DIVERSE_KEY_V[0]}:{_DIVERSE_KEY_V[1]()}",
-        build, version="1",
+        _DIVERSE256_KEY_V[1](), build, version=_DIVERSE256_KEY_V[0],
     )
 
 

@@ -20,6 +20,20 @@ from typing import Any, Callable
 DEFAULT_CACHE_DIR = "/tmp/isbfsar_jax_cache"
 DEFAULT_PARAMS_CACHE_DIR = "/tmp/isbfsar_params_cache"
 
+# Read-only pretrained bundle shipped inside the package (the analog of the
+# reference's downloadable weight files, README.md:31-38 — here the weights
+# are synthetic-supervision fits, versioned by the same key discipline as
+# the writable cache). `ISBFSAR_PRETRAINED_DIR` overrides for tests.
+BUNDLED_PRETRAINED_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "assets", "pretrained",
+)
+
+
+def params_cache_digest(key: str, version: str) -> str:
+    """The on-disk name for a (key, version) trained-params entry."""
+    return hashlib.sha256(f"v{version}:{key}".encode()).hexdigest()[:24]
+
 
 def enable_compile_cache(cache_dir: str = "") -> None:
     """Enable the persistent XLA compile cache (idempotent).
@@ -48,6 +62,12 @@ def cached_params(key: str, builder: Callable[[], Any], version: str = "1",
     or /tmp/isbfsar_params_cache. Corrupt/unreadable entries fall back to a
     fresh ``builder()`` run (and overwrite the entry).
 
+    Lookup order: the read-only PRETRAINED BUNDLE shipped in the package
+    (``assets/pretrained/`` — see :mod:`isbfsar_tpu.pretrained`), then the
+    writable cache, then train + write. A bundle entry whose key/version no
+    longer matches the caller's simply has a different digest and is
+    ignored — stale shipped weights can never shadow a retrain.
+
     Restored trees are plain dicts of numpy arrays — the same shape the
     trainers return, so ``Model(params=...)`` consumers are unaffected.
     """
@@ -58,14 +78,16 @@ def cached_params(key: str, builder: Callable[[], Any], version: str = "1",
     cache_dir = cache_dir or os.environ.get(
         "ISBFSAR_PARAMS_CACHE", DEFAULT_PARAMS_CACHE_DIR
     )
-    digest = hashlib.sha256(f"v{version}:{key}".encode()).hexdigest()[:24]
+    bundle_dir = os.environ.get("ISBFSAR_PRETRAINED_DIR", BUNDLED_PRETRAINED_DIR)
+    digest = params_cache_digest(key, version)
     path = os.path.join(cache_dir, f"{digest}.msgpack")
-    if os.path.exists(path):
-        try:
-            with open(path, "rb") as f:
-                return serialization.msgpack_restore(f.read())
-        except Exception:
-            pass  # corrupt entry: retrain below and overwrite
+    for candidate in (os.path.join(bundle_dir, f"{digest}.msgpack"), path):
+        if os.path.exists(candidate):
+            try:
+                with open(candidate, "rb") as f:
+                    return serialization.msgpack_restore(f.read())
+            except Exception:
+                pass  # corrupt entry: try the next tier / retrain
 
     params = jax.tree.map(np.asarray, builder())
     os.makedirs(cache_dir, exist_ok=True)

@@ -31,7 +31,6 @@ from isbfsar_tpu.models.gaze import GazeNet, pitchyaw_to_vector
 from isbfsar_tpu.train.gazefocus import (
     make_normalized_crop_fn,
     render_face_scene,
-    train_focus_params,
 )
 
 CFG = dataclasses.replace(FocusConfig(), gaze_image_size=64, compute_dtype="float32")
@@ -72,27 +71,15 @@ class TestHeadPoseGeometry:
 
 @pytest.fixture(scope="module")
 def trained_params():
-    # ~9 min on the CI CPU. Budgets per phase (each validated by a
-    # measured curve):
-    # - det 150: BatchNorm stats settle ~100 steps (momentum 0.9), then the
-    #   top-8 anchor-ensemble box reaches IoU 0.6-0.9 across sizes.
-    # - lm 600: the crop-space refiner error reaches ~1.2 px (300 -> 2.1);
-    #   at a 2%-area face the yaw-from-landmarks noise is ~0.06 rad/px of
-    #   frame error, so the far branch's 0.3 rad threshold needs <4 px —
-    #   600 steps gives ~2 px frame error and real margin.
-    # - gaze 150: at/away z-separation ~0.2 on the crop distribution.
-    # Train-once cache (utils/cache.py): the params are a pure function of
-    # this budget tuple, so warm suites skip the ~9 min fit entirely. Bump
-    # the version tag if train/gazefocus.py's training code changes.
-    from isbfsar_tpu.utils.cache import cached_params
+    # ~9 min on the CI CPU cold; the pretrained bundle / params cache make
+    # warm suites skip the fit. Budget rationale lives with the promoted
+    # fixture (train/gazefocus.py CI_FOCUS_BUDGETS); CFG above must equal
+    # CI_FOCUS_CFG so this module's direct-net tests exercise the same
+    # operating point the fixture trained at.
+    from isbfsar_tpu.train.gazefocus import CI_FOCUS_CFG, ci_focus_params
 
-    budgets = dict(n_steps_det=150, n_steps_gaze=150, n_steps_lm=600,
-                   batch_size=6, lr_det=1e-3, lr_gaze=5e-4)
-    return cached_params(
-        f"gazefocus:{CFG!r}:{sorted(budgets.items())!r}",
-        lambda: train_focus_params(CFG, **budgets),
-        version="1",
-    )
+    assert CFG == CI_FOCUS_CFG
+    return ci_focus_params()
 
 
 class TestTrainedFocusNets:
