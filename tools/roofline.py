@@ -1,0 +1,210 @@
+"""Speed-of-light audit: measured device time vs the XLA cost model vs peak.
+
+For every shipped hot program (the fused step, its B=16 micro-batch, and
+the three standalone module programs) this tool pulls the compiled
+executable's own cost analysis (FLOPs + HBM bytes accessed), measures the
+amortized per-call device time (min over interleaved blocks of queued
+dispatches — the relay-spike-stripping receipt bench.py uses), and reports
+
+    achieved TFLOP/s, achieved GB/s, arithmetic intensity,
+    bound-by (compute vs bandwidth at the machine balance point),
+    and % of the binding roofline actually achieved.
+
+This answers "is each kernel at speed of light?" with numbers instead of
+vibes (docs/PERF.md "Roofline audit"): a program far under its binding
+roof has fusion/layout headroom; one near it is done — further e2e gains
+must come from the host path, not the kernels.
+
+Peaks default to TPU v5e (v5 lite): 197 bf16 TFLOP/s, 819 GB/s HBM
+(public chip specs). Pass --peak-tflops/--peak-gbs for other targets.
+
+    python tools/roofline.py [--json out.json] [--blocks 5 --block 100]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from typing import Any, Callable, Dict, Sequence
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+V5E_PEAK_TFLOPS = 197.0
+V5E_PEAK_GBS = 819.0
+
+
+def cost_of(compiled) -> Dict[str, float]:
+    """FLOPs + bytes from the executable's cost analysis (version-tolerant:
+    older jax returns a list of one dict per program)."""
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0] if ca else {}
+    return {
+        "flops": float(ca.get("flops", 0.0)),
+        "bytes": float(ca.get("bytes accessed", 0.0)),
+    }
+
+
+def device_time(fn: Callable[[], Any], n_blocks: int, block: int,
+                warmup: int = 5) -> Dict[str, float]:
+    """Amortized per-call seconds: median and min over interleaved blocks of
+    `block` queued dispatches (one sync per block). The min is the device-
+    time receipt — back-to-back queued programs leave no host gap, and the
+    min strips shared-relay load spikes (docs/PERF.md relay cost model)."""
+    import jax
+
+    for _ in range(warmup):
+        out = fn()
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(n_blocks):
+        t0 = time.perf_counter()
+        for _ in range(block):
+            out = fn()
+        jax.block_until_ready(out)
+        times.append((time.perf_counter() - t0) / block)
+    return {"median_s": float(np.median(times)), "min_s": float(np.min(times))}
+
+
+def audit(name: str, jitted, args: Sequence[Any], n_blocks: int, block: int,
+          peak_tflops: float, peak_gbs: float,
+          calls_per_item: int = 1) -> Dict[str, Any]:
+    """One roofline row. `calls_per_item` divides time AND cost per logical
+    frame for batched programs (cost_analysis covers the whole batch)."""
+    compiled = jitted.lower(*args).compile()
+    cost = cost_of(compiled)
+    t = device_time(lambda: jitted(*args), n_blocks, block)
+    dt = t["min_s"]
+    flops, bytes_ = cost["flops"], cost["bytes"]
+    achieved_tflops = flops / dt / 1e12
+    achieved_gbs = bytes_ / dt / 1e9
+    intensity = flops / bytes_ if bytes_ else float("inf")
+    balance = peak_tflops * 1e12 / (peak_gbs * 1e9)  # FLOPs/byte at the ridge
+    bound = "compute" if intensity >= balance else "bandwidth"
+    # time a perfect machine would need: max of the two roofline terms
+    sol_s = max(flops / (peak_tflops * 1e12), bytes_ / (peak_gbs * 1e9))
+    row = {
+        "name": name,
+        "per_frame_ms": round(dt / calls_per_item * 1e3, 4),
+        "median_ms": round(t["median_s"] / calls_per_item * 1e3, 4),
+        "gflops": round(flops / 1e9, 3),
+        "mbytes": round(bytes_ / 1e6, 3),
+        "intensity_flops_per_byte": round(intensity, 1),
+        "bound": bound,
+        "achieved_tflops": round(achieved_tflops, 2),
+        "achieved_gbs": round(achieved_gbs, 1),
+        "speed_of_light_ms": round(sol_s / calls_per_item * 1e3, 4),
+        "pct_of_roofline": round(100.0 * sol_s / dt, 1),
+    }
+    print(
+        f"[roofline] {name:18s} {row['per_frame_ms']:8.3f} ms/frame  "
+        f"{row['gflops']:9.2f} GF {row['mbytes']:9.1f} MB  "
+        f"AI {row['intensity_flops_per_byte']:7.1f}  {bound:9s}-bound  "
+        f"SoL {row['speed_of_light_ms']:.3f} ms  "
+        f"-> {row['pct_of_roofline']:5.1f}% of roof",
+        file=sys.stderr,
+    )
+    return row
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--json", default=None, help="write rows to a file")
+    parser.add_argument("--blocks", type=int, default=5)
+    parser.add_argument("--block", type=int, default=100)
+    parser.add_argument("--peak-tflops", type=float, default=V5E_PEAK_TFLOPS)
+    parser.add_argument("--peak-gbs", type=float, default=V5E_PEAK_GBS)
+    parser.add_argument("--skip-fused", action="store_true",
+                        help="only the standalone module programs (faster)")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from isbfsar_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+    kw = dict(n_blocks=args.blocks, block=args.block,
+              peak_tflops=args.peak_tflops, peak_gbs=args.peak_gbs)
+    rows = []
+
+    # --- standalone module programs (bench.py's per-module setups) -------
+    from isbfsar_tpu.ar.recognizer import ActionRecognizer
+    from isbfsar_tpu.configs import ARConfig, CameraIntrinsics, FocusConfig, HPEConfig
+    from isbfsar_tpu.focus.detector import FocusDetector
+    from isbfsar_tpu.hpe.estimator import HumanPoseEstimator
+
+    rng = np.random.default_rng(0)
+
+    est = HumanPoseEstimator(HPEConfig(yolo_thresh=0.0), CameraIntrinsics())
+    frame = jax.device_put(np.zeros((480, 640, 3), np.uint8))
+    rows.append(audit("hpe_frame", est._estimate_jit, (est.params, frame), **kw))
+
+    det = FocusDetector(FocusConfig(), CameraIntrinsics())
+    rows.append(audit("focus_frame", det._forward, (det.params, frame), **kw))
+
+    cfg = ARConfig.for_input("skeleton")
+    ar = ActionRecognizer(cfg)
+    for i in range(5):
+        ar.train({"flag": f"a{i}",
+                  "data": {"poses": rng.normal(size=(cfg.seq_len, 90)).astype(np.float32)},
+                  "requires_focus": False})
+    for _ in range(cfg.seq_len):  # fill the window -> support cache built
+        ar.inference({"sk": rng.normal(size=90).astype(np.float32)})
+    query = {"sk": jnp.asarray(rng.normal(size=(1, cfg.seq_len, 90)), jnp.float32)}
+    mask = jnp.asarray(ar.support_mask)
+    rows.append(audit("trx_match", ar._infer_cached,
+                      (ar.params, query, ar.support_features, mask), **kw))
+
+    # --- the shipped fused programs --------------------------------------
+    if not args.skip_fused:
+        import dataclasses
+
+        from isbfsar_tpu.configs import PipelineConfig
+        from isbfsar_tpu.pipeline import FusedPipeline
+
+        config = PipelineConfig()
+        config = dataclasses.replace(
+            config, hpe=dataclasses.replace(config.hpe, yolo_thresh=0.0))
+        pipe = FusedPipeline(config, with_focus=True, input_format="i420")
+        for i in range(2):
+            pipe.ar.train({"flag": f"action_{i}",
+                           "data": {"poses": rng.normal(size=(config.ar.seq_len, 90)).astype(np.float32)},
+                           "requires_focus": False})
+        pipe.start()
+        # NON-donating jits of the impls: the shipped `_step`/`_step_batch`
+        # donate the state buffer, which forbids re-calling with the same
+        # args — the audit loop needs exactly that. Same program content,
+        # one extra state copy (36 KB — noise at this scale).
+        step = jax.jit(pipe._step_impl)
+        yuv = jax.device_put(np.zeros((480 * 3 // 2, 640), np.uint8))
+        state = pipe.init_state()
+        rows.append(audit(
+            "fused_step", step,
+            (pipe._device_params, yuv, pipe._support_kv, state,
+             pipe._support_mask), **kw))
+        b = 16
+        step_b = jax.jit(pipe._step_batch_impl)
+        yuv_b = jax.device_put(np.zeros((b, 480 * 3 // 2, 640), np.uint8))
+        rows.append(audit(
+            "fused_batch16", step_b,
+            (pipe._device_params, yuv_b, pipe._support_kv, pipe.init_state(),
+             pipe._support_mask), calls_per_item=b,
+            **{**kw, "block": max(args.block // b, 5)}))
+
+    out = {"device": str(jax.devices()[0]),
+           "peak_tflops": args.peak_tflops, "peak_gbs": args.peak_gbs,
+           "rows": rows}
+    print(json.dumps(out))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(out, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
