@@ -83,6 +83,10 @@ def main() -> None:
     parser.add_argument("--cpu", action="store_true",
                         help="pin jax to CPU (sitecustomize otherwise "
                              "force-registers the TPU relay)")
+    parser.add_argument("--gui-out", default=None,
+                        help="also render one recognizing frame through the "
+                             "live Orchestrator + GUIVisualizer 2x2 panel "
+                             "(offscreen) to this path")
     args = parser.parse_args()
 
     import jax
@@ -173,6 +177,27 @@ def main() -> None:
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     cv2.imwrite(args.out, panel)
     print(f"[demo] wrote {args.out} ({panel.shape[1]}x{panel.shape[0]})")
+
+    if args.gui_out:
+        # The SERVICE surface's view: frames through the live Orchestrator
+        # (double-buffered fused path), rendered by the interactive 2x2
+        # panel offscreen (reference utils/output.py VISPYVisualizer).
+        from isbfsar_tpu.runtime.orchestrator import Orchestrator
+        from isbfsar_tpu.runtime.visualizer import GUIVisualizer
+
+        orch = Orchestrator(config=cfg, ar=ar, fused=pipe)
+        frames, _ = render_motion_clip("wave", n_frames=L + 6, frame_hw=hw,
+                                       intrinsics=intr, seed=33, phase=0.5)
+        pipe._state = pipe.init_state()
+        elements = {}
+        for i, f in enumerate(frames):
+            log = "Action wave learned successfully!" if i == 0 else None
+            elements = orch.get_frame(img=f, log=log)
+        gui = GUIVisualizer(backend="Agg")
+        img = gui.render(elements)
+        os.makedirs(os.path.dirname(args.gui_out), exist_ok=True)
+        cv2.imwrite(args.gui_out, img[..., ::-1])  # RGB -> BGR for imwrite
+        print(f"[demo] wrote {args.gui_out} ({img.shape[1]}x{img.shape[0]})")
 
 
 if __name__ == "__main__":
