@@ -74,6 +74,40 @@ class _Layout:
         return out
 
 
+def _cast_trunk_params(p, dt):
+    """Serving mixed precision (PipelineConfig.param_dtype): cast the two
+    big conv TRUNKS (hpe yolo + bbone weights — ~95% of the fused
+    program's parameter bytes) to ``dt``, keeping full f32 storage for the
+    precision-critical remainder: the Metrabs decode head and the YOLO
+    box-regression outputs (a soft-argmax over a small heatmap amplifies
+    weight rounding — full-tree bf16 measured 6.4 cm mean pose delta on
+    the CI nets, the trunk-only policy 4.0 cm, both sub-noise against the
+    nets' own ~9.5 cm error budget and decision-identical;
+    tests/test_param_dtype.py), BatchNorm statistics (rsqrt precision),
+    the TRX (f32 compute by design, configs.py ARConfig), and the focus
+    nets (pixel-level landmark regression feeds yaw geometry).
+
+    Runs as ONE jitted program: a host-side per-leaf .astype would
+    dispatch hundreds of tiny programs through a remote-attached chip.
+    """
+    from jax.tree_util import tree_map_with_path
+
+    def cast(path, x):
+        keys = [str(getattr(k, "key", k)) for k in path]
+        trunk = (
+            keys[:1] == ["hpe"]
+            and any(k in ("yolo", "bbone") for k in keys[1:2])
+            and "batch_stats" not in keys
+            and not any(k.startswith("head") and k.endswith("_out")
+                        for k in keys)
+        )
+        if trunk and jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating):
+            return x.astype(dt)
+        return x
+
+    return jax.jit(lambda t: tree_map_with_path(cast, t))(p)
+
+
 class FusedPipeline:
     """Single-program streaming pipeline (skeleton | rgb | hybrid modes).
 
@@ -207,6 +241,8 @@ class FusedPipeline:
         p = {"hpe": self.hpe.params, "ar": self.ar.params}
         if self.with_focus:
             p["focus"] = self.focus.params
+        if self.config.param_dtype != "float32":
+            p = _cast_trunk_params(p, jnp.dtype(self.config.param_dtype))
         return p
 
     # ----------------------------------------------------------- fused step
