@@ -73,12 +73,16 @@ def device_time(fn: Callable[[], Any], n_blocks: int, block: int,
 
 def audit(name: str, jitted, args: Sequence[Any], n_blocks: int, block: int,
           peak_tflops: float, peak_gbs: float,
-          calls_per_item: int = 1) -> Dict[str, Any]:
+          calls_per_item: int = 1, timed_fn=None) -> Dict[str, Any]:
     """One roofline row. `calls_per_item` divides time AND cost per logical
-    frame for batched programs (cost_analysis covers the whole batch)."""
+    frame for batched programs (cost_analysis covers the whole batch).
+    `timed_fn` overrides the timing callable — needed for donating
+    programs, where the caller must thread the donated buffer between
+    calls (lowering for cost analysis never executes, so it is safe on
+    the original args either way)."""
     compiled = jitted.lower(*args).compile()
     cost = cost_of(compiled)
-    t = device_time(lambda: jitted(*args), n_blocks, block)
+    t = device_time(timed_fn or (lambda: jitted(*args)), n_blocks, block)
     dt = t["min_s"]
     flops, bytes_ = cost["flops"], cost["bytes"]
     achieved_tflops = flops / dt / 1e12
@@ -121,6 +125,11 @@ def main() -> None:
     parser.add_argument("--peak-gbs", type=float, default=V5E_PEAK_GBS)
     parser.add_argument("--skip-fused", action="store_true",
                         help="only the standalone module programs (faster)")
+    parser.add_argument("--param-dtype", default="float32",
+                        help="PipelineConfig.param_dtype for the fused "
+                             "programs — 'bfloat16' audits the trunk-weight "
+                             "storage cast (expect the bytes term to drop "
+                             "~2x-of-weights; docs/PERF.md)")
     args = parser.parse_args()
 
     import jax
@@ -168,7 +177,7 @@ def main() -> None:
         from isbfsar_tpu.configs import PipelineConfig
         from isbfsar_tpu.pipeline import FusedPipeline
 
-        config = PipelineConfig()
+        config = PipelineConfig(param_dtype=args.param_dtype)
         config = dataclasses.replace(
             config, hpe=dataclasses.replace(config.hpe, yolo_thresh=0.0))
         pipe = FusedPipeline(config, with_focus=True, input_format="i420")
@@ -177,29 +186,42 @@ def main() -> None:
                            "data": {"poses": rng.normal(size=(config.ar.seq_len, 90)).astype(np.float32)},
                            "requires_focus": False})
         pipe.start()
-        # NON-donating jits of the impls: the shipped `_step`/`_step_batch`
-        # donate the state buffer, which forbids re-calling with the same
-        # args — the audit loop needs exactly that. Same program content,
-        # one extra state copy (36 KB — noise at this scale).
-        step = jax.jit(pipe._step_impl)
+        # The SHIPPED executables donate the state buffer, so the timing
+        # loop must thread the returned state back in (the serve loops'
+        # own discipline); lowering for cost analysis never executes, so
+        # the original args are safe there.
         yuv = jax.device_put(np.zeros((480 * 3 // 2, 640), np.uint8))
-        state = pipe.init_state()
+        held = {"s": pipe.init_state()}
+
+        def run_step():
+            packed, held["s"] = pipe._step(
+                pipe._device_params, yuv, pipe._support_kv, held["s"],
+                pipe._support_mask)
+            return packed
+
         rows.append(audit(
-            "fused_step", step,
-            (pipe._device_params, yuv, pipe._support_kv, state,
-             pipe._support_mask), **kw))
+            "fused_step", pipe._step,
+            (pipe._device_params, yuv, pipe._support_kv, pipe.init_state(),
+             pipe._support_mask), timed_fn=run_step, **kw))
         b = 16
-        step_b = jax.jit(pipe._step_batch_impl)
         yuv_b = jax.device_put(np.zeros((b, 480 * 3 // 2, 640), np.uint8))
+        held_b = {"s": pipe.init_state()}
+
+        def run_batch():
+            packed, held_b["s"] = pipe._step_batch(
+                pipe._device_params, yuv_b, pipe._support_kv, held_b["s"],
+                pipe._support_mask)
+            return packed
+
         rows.append(audit(
-            "fused_batch16", step_b,
+            "fused_batch16", pipe._step_batch,
             (pipe._device_params, yuv_b, pipe._support_kv, pipe.init_state(),
-             pipe._support_mask), calls_per_item=b,
+             pipe._support_mask), calls_per_item=b, timed_fn=run_batch,
             **{**kw, "block": max(args.block // b, 5)}))
 
     out = {"device": str(jax.devices()[0]),
            "peak_tflops": args.peak_tflops, "peak_gbs": args.peak_gbs,
-           "rows": rows}
+           "param_dtype": args.param_dtype, "rows": rows}
     print(json.dumps(out))
     if args.json:
         with open(args.json, "w") as f:
