@@ -60,14 +60,16 @@ def _bench_blocks(fn, n_blocks: int = 5, block: int = 100, warmup: int = 5):
     return float(np.median(times)), float(np.min(times))
 
 
-def bench_full() -> dict:
+def bench_full(param_dtype: str = "float32") -> dict:
     import jax
 
     from isbfsar_tpu.configs import PipelineConfig
     from isbfsar_tpu.pipeline import FusedPipeline
     from isbfsar_tpu.runtime.source import SyntheticSource
 
-    config = PipelineConfig()
+    # param_dtype="bfloat16": trunk-weight storage cast (docs/PERF.md
+    # "Precision decisions") — the serve/stream A/B for the HBM term.
+    config = PipelineConfig(param_dtype=param_dtype)
     # Random-init weights never clear the reference's 0.3 confidence gate;
     # thresh 0 keeps the full detect->pose->match path engaged so the bench
     # measures the real per-frame work.
@@ -329,10 +331,13 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", default="all",
                         choices=["all", "full", "ar", "fsos", "hpe", "focus"])
+    parser.add_argument("--param-dtype", default="float32",
+                        help="fused-pipeline parameter storage dtype "
+                             "('bfloat16' = trunk-weight cast A/B)")
     args = parser.parse_args()
 
     benches = {
-        "full": bench_full,
+        "full": lambda: bench_full(args.param_dtype),
         "ar": bench_ar,
         "fsos": bench_fsos,
         "hpe": bench_hpe,
@@ -346,7 +351,7 @@ def main() -> None:
     # BASELINE configs. Headline fields stay top-level (driver contract);
     # the per-module configs ride in "modules". A module bench that fails
     # must not take the headline down with it — record the error string.
-    result = bench_full()
+    result = bench_full(args.param_dtype)
     modules = {}
     for name in ("ar", "fsos", "hpe", "focus"):
         try:
