@@ -49,11 +49,18 @@ def main() -> None:
                              "dispatch frame i while decoding frame i-1 — "
                              "~2x the serve-loop FPS through a remote-"
                              "attached chip at one frame of added lag")
+    parser.add_argument("--param-dtype", default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="fused-path parameter storage: bfloat16 casts "
+                             "the conv-trunk weights, halving the batch-1 "
+                             "HBM weight traffic at a sub-noise accuracy "
+                             "cost (docs/PERF.md 'Precision decisions')")
     args = parser.parse_args()
 
     enable_compile_cache()
 
-    config = PipelineConfig.for_input(args.input_type)
+    config = dataclasses.replace(PipelineConfig.for_input(args.input_type),
+                                 param_dtype=args.param_dtype)
     if args.hub == "shm":
         from isbfsar_tpu.runtime.shm_transport import serve_queues
 
