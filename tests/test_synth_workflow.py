@@ -91,6 +91,39 @@ class TestActionLibrary:
         assert not set(ACTION_EXTRA_CLASSES) & set(_POSE_SCENE_ACTIONS)
 
 
+class TestWorkdirFingerprint:
+    """run_workflow must refuse resumable artifacts it cannot prove match
+    the requested configuration (renders/extractions resume by file
+    existence — a silent mix would poison the receipt)."""
+
+    KW = dict(frame_hw=(24, 32), yolo_width=0.25, yolo_input_size=128,
+              crop_size=128, log=False)
+
+    def _params(self):
+        return {"w": np.zeros((2, 2), np.float32)}
+
+    def test_mismatched_manifest_refused(self, tmp_path):
+        import json
+
+        from isbfsar_tpu.configs import CameraIntrinsics
+
+        wd = tmp_path / "wf"
+        wd.mkdir()
+        (wd / "manifest.json").write_text(json.dumps({"fingerprint": "feed"}))
+        with pytest.raises(ValueError, match="different configuration"):
+            run_workflow(self._params(), str(wd),
+                         intrinsics=CameraIntrinsics(), **self.KW)
+
+    def test_legacy_dir_without_manifest_refused(self, tmp_path):
+        from isbfsar_tpu.configs import CameraIntrinsics
+
+        wd = tmp_path / "wf"
+        (wd / "videos_train").mkdir(parents=True)
+        with pytest.raises(ValueError, match="no manifest"):
+            run_workflow(self._params(), str(wd),
+                         intrinsics=CameraIntrinsics(), **self.KW)
+
+
 class TestFullOfflineLoop:
     def test_render_extract_train_fsos(self):
         """The capstone: every offline stage chained, scored on held-out
