@@ -318,6 +318,38 @@ def bench_focus() -> dict:
             "unit": "ms", "vs_baseline": round((1 / dt) / 30.0, 2)}
 
 
+def _await_backend_or_die(timeout_s: float, _exit=None) -> None:
+    """Backend-init watchdog: ``jax.devices()`` through a wedged relay never
+    returns — not a slow compile, a dead socket (observed hours-long;
+    docs/PERF.md relay cost model). Run the init in a daemon thread so a
+    wedge produces a diagnosable artifact line (still the driver's
+    one-JSON-line contract) instead of an eternal hang. Only INIT is
+    gated; compiles (legitimately ~15 min cold) run after this returns.
+    0 disables. ``_exit`` is injectable for tests (default ``os._exit`` —
+    a plain ``sys.exit`` would wait on the stuck non-daemon runtime)."""
+    if timeout_s <= 0:
+        return
+    import threading
+
+    import jax
+
+    done = threading.Event()
+    threading.Thread(target=lambda: (jax.devices(), done.set()),
+                     daemon=True).start()
+    if not done.wait(timeout_s):
+        print(json.dumps({
+            "metric": "e2e_fps", "value": 0.0, "unit": "fps",
+            "vs_baseline": 0.0,
+            "error": f"tpu backend init exceeded {timeout_s:.0f}s "
+                     "— relay unreachable/wedged, not a code failure "
+                     "(docs/PERF.md relay cost model)",
+        }))
+        sys.stdout.flush()
+        import os
+
+        (_exit or os._exit)(1)
+
+
 def main() -> None:
     import jax
 
@@ -334,7 +366,14 @@ def main() -> None:
     parser.add_argument("--param-dtype", default="float32",
                         help="fused-pipeline parameter storage dtype "
                              "('bfloat16' = trunk-weight cast A/B)")
+    parser.add_argument("--init-timeout", type=float, default=240.0,
+                        help="seconds to wait for TPU backend init before "
+                             "emitting an error JSON line instead of hanging "
+                             "(the shared relay can wedge for hours — "
+                             "docs/PERF.md relay cost model; 0 disables)")
     args = parser.parse_args()
+
+    _await_backend_or_die(args.init_timeout)
 
     benches = {
         "full": lambda: bench_full(args.param_dtype),

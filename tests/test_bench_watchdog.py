@@ -1,0 +1,48 @@
+"""bench.py backend-init watchdog (the relay-wedge guard).
+
+The shared TPU relay has been observed to wedge for hours with
+``jax.devices()`` never returning (docs/PERF.md relay cost model). The
+driver runs ``bench.py`` unattended at round end, so a wedge must produce
+a diagnosable one-JSON-line artifact instead of an eternal hang. These
+tests exercise both watchdog branches without a relay: the hang branch by
+substituting a blocking ``jax.devices``, the healthy branch against the
+real (CPU) backend.
+"""
+
+import json
+import time
+
+import jax
+
+import bench
+
+
+def test_watchdog_emits_error_line_on_init_hang(monkeypatch, capsys):
+    monkeypatch.setattr(jax, "devices", lambda: time.sleep(60))
+    calls = []
+    bench._await_backend_or_die(0.3, _exit=calls.append)
+    assert calls == [1]
+    line = capsys.readouterr().out.strip()
+    out = json.loads(line)
+    # Driver contract: metric/value/unit/vs_baseline stay present.
+    assert out["metric"] == "e2e_fps"
+    assert out["value"] == 0.0
+    assert out["unit"] == "fps"
+    assert out["vs_baseline"] == 0.0
+    assert "relay" in out["error"]
+
+
+def test_watchdog_passes_through_on_healthy_backend(capsys):
+    calls = []
+    bench._await_backend_or_die(30.0, _exit=calls.append)
+    assert calls == []
+    assert capsys.readouterr().out == ""
+
+
+def test_watchdog_disabled_at_zero(monkeypatch, capsys):
+    # 0 disables: must return immediately without touching the backend.
+    monkeypatch.setattr(jax, "devices", lambda: time.sleep(60))
+    t0 = time.perf_counter()
+    bench._await_backend_or_die(0.0, _exit=lambda code: None)
+    assert time.perf_counter() - t0 < 0.2
+    assert capsys.readouterr().out == ""
