@@ -21,16 +21,55 @@ import jax
 import numpy as np
 
 
-def _one_step_params(cfg, mesh, batch, seed: int = 0):
+def _one_step_params(cfg, mesh, batch, seed: int = 0,
+                     param_sharding: str = "replicated"):
     from isbfsar_tpu.train.trainer import Trainer
 
-    trainer = Trainer(cfg, mesh=mesh, log_dir="/tmp/isbfsar_dryrun", use_wandb=False, seed=seed)
+    trainer = Trainer(cfg, mesh=mesh, log_dir="/tmp/isbfsar_dryrun",
+                      use_wandb=False, seed=seed, param_sharding=param_sharding)
     init = jax.tree.map(np.asarray, trainer.params)
     init_stats = jax.tree.map(np.asarray, trainer.batch_stats)
     summary = trainer.run_epoch(0, [batch], train=True)
+    # Placement receipt BEFORE host conversion: how many leaves actually
+    # live split across devices (fsdp non-vacuity — see fsdp_parity_check).
+    sharded = [
+        x for x in jax.tree.leaves(trainer.params)
+        if hasattr(x, "sharding")
+        and x.sharding.shard_shape(x.shape) != tuple(x.shape)
+    ]
+    placement = {
+        "sharded_leaves": len(sharded),
+        "sharded_elems": int(sum(int(np.prod(x.shape)) for x in sharded)),
+    }
     params = jax.tree.map(np.asarray, trainer.params)
     stats = jax.tree.map(np.asarray, trainer.batch_stats)
-    return params, stats, summary, (init, init_stats)
+    return params, stats, summary, (init, init_stats), placement
+
+
+def _episodic_batch(cfg, n_devices: int, rgb_size: int, modality: str):
+    """One deterministic episodic batch, batch-size == n_devices (one
+    episode per device — the strictest sharding)."""
+    from isbfsar_tpu.train.trainer import MODALITY_KEYS
+
+    rng = np.random.default_rng(0)
+    b, way, L = n_devices, cfg.way, cfg.seq_len
+    shapes = {"sk": (cfg.n_joints * 3,), "rgb": (rgb_size, rgb_size, 3)}
+    keys = MODALITY_KEYS[modality]
+
+    def clipset(shape_suffix):
+        return {
+            m: rng.normal(size=shape_suffix + (L,) + shapes[m]).astype(np.float32)
+            for m in keys
+        }
+
+    return {
+        "support_set": clipset((b, way)),
+        "target_set": clipset((b,)),
+        "unknown_set": clipset((b,)),
+        "support_classes": np.tile(np.arange(way, dtype=np.int32), (b, 1)),
+        "target_class": np.zeros((b,), np.int32),
+        "known": np.ones((b,), bool),
+    }
 
 
 def dp_parity_check(n_devices: int, atol: float = 2e-6,
@@ -71,7 +110,6 @@ def dp_parity_check(n_devices: int, atol: float = 2e-6,
     """
     from isbfsar_tpu.configs import ARConfig
     from isbfsar_tpu.parallel.mesh import make_mesh
-    from isbfsar_tpu.train.trainer import MODALITY_KEYS
 
     cfg = dataclasses.replace(
         ARConfig.for_input(modality),
@@ -80,28 +118,10 @@ def dp_parity_check(n_devices: int, atol: float = 2e-6,
         eval_every_n_epoch=10_000,
         rgb_size=rgb_size,
     )
-    rng = np.random.default_rng(0)
-    b, way, L = n_devices, cfg.way, cfg.seq_len
-    shapes = {"sk": (cfg.n_joints * 3,), "rgb": (rgb_size, rgb_size, 3)}
-    keys = MODALITY_KEYS[modality]
+    batch = _episodic_batch(cfg, n_devices, rgb_size, modality)
 
-    def clipset(shape_suffix):
-        return {
-            m: rng.normal(size=shape_suffix + (L,) + shapes[m]).astype(np.float32)
-            for m in keys
-        }
-
-    batch = {
-        "support_set": clipset((b, way)),
-        "target_set": clipset((b,)),
-        "unknown_set": clipset((b,)),
-        "support_classes": np.tile(np.arange(way, dtype=np.int32), (b, 1)),
-        "target_class": np.zeros((b,), np.int32),
-        "known": np.ones((b,), bool),
-    }
-
-    p1, s1, m1, (p_init, s_init) = _one_step_params(cfg, make_mesh(1), batch)
-    pn, sn, mn, _ = _one_step_params(cfg, make_mesh(n_devices), batch)
+    p1, s1, m1, (p_init, s_init), _ = _one_step_params(cfg, make_mesh(1), batch)
+    pn, sn, mn, _, _ = _one_step_params(cfg, make_mesh(n_devices), batch)
 
     def max_diff(a, b):
         diffs = jax.tree.leaves(
@@ -153,6 +173,74 @@ def dp_parity_check(n_devices: int, atol: float = 2e-6,
         )
     report["modality"] = modality
     report["bn_stat_leaves"] = len(stats_leaves)
+    return report
+
+
+def fsdp_parity_check(n_devices: int, atol: float = 2e-6) -> Dict[str, float]:
+    """Assert the FSDP (ZeRO parameter-sharded) training step is numerically
+    EQUIVALENT to the 1-device replicated step.
+
+    The n-device run shards the batch over ``dp`` AND every large parameter
+    + optimizer-state leaf over the same axis (Trainer
+    ``param_sharding="fsdp"`` -> parallel/mesh.py shard_params_fsdp); XLA
+    all-gathers weights at use and reduce-scatters gradients. Beyond the
+    reference (its only parallelism is replicated-parameter DataParallel,
+    modules/ar/utils/model.py:360-369) — this is the memory-scaling story
+    for production-size training runs.
+
+    Skeleton modality: per-sample compute is independent of the sharding,
+    so the certificate is EXACT-tolerance like the dp one (the only
+    reassociation is the loss/grad mean + the reduce-scatter order).
+
+    Non-vacuity: asserts that a majority of parameter ELEMENTS genuinely
+    live split across devices during the certified step — a silent
+    fall-back-to-replicated configuration cannot pass as parity.
+    """
+    from isbfsar_tpu.configs import ARConfig
+    from isbfsar_tpu.parallel.mesh import make_mesh
+
+    cfg = dataclasses.replace(
+        ARConfig.for_input("skeleton"),
+        batch_size=n_devices,
+        n_task=n_devices,
+        eval_every_n_epoch=10_000,
+    )
+    batch = _episodic_batch(cfg, n_devices, rgb_size=32, modality="skeleton")
+
+    p1, s1, m1, _, _ = _one_step_params(cfg, make_mesh(1), batch)
+    pn, sn, mn, _, placement = _one_step_params(
+        cfg, make_mesh(n_devices), batch, param_sharding="fsdp"
+    )
+
+    total_elems = int(sum(int(np.prod(np.shape(x))) for x in jax.tree.leaves(p1)))
+    sharded_frac = placement["sharded_elems"] / max(total_elems, 1)
+    assert placement["sharded_leaves"] >= 1 and sharded_frac > 0.5, (
+        f"fsdp parity ran without real parameter sharding "
+        f"({placement['sharded_leaves']} leaves, {sharded_frac:.0%} of "
+        f"elements) — the certificate would be vacuous"
+    )
+
+    def max_diff(a, b):
+        diffs = jax.tree.leaves(
+            jax.tree.map(lambda x, y: float(np.abs(np.asarray(x) - np.asarray(y)).max()), a, b)
+        )
+        return max(diffs) if diffs else 0.0
+
+    report = {
+        "max_param_diff": max_diff(p1, pn),
+        "max_stats_diff": max_diff(s1, sn),
+        "max_metric_diff": max(
+            abs(float(m1[k]) - float(mn[k])) for k in m1 if k in mn
+        ),
+        "sharded_leaves": placement["sharded_leaves"],
+        "sharded_elem_frac": round(sharded_frac, 3),
+    }
+    for name in ("max_param_diff", "max_stats_diff", "max_metric_diff"):
+        assert report[name] <= atol, (
+            f"fsdp parity violated: {name}={report[name]:.3e} > {atol:.1e} "
+            f"(1-device replicated vs {n_devices}-device fsdp)\n"
+            f"1-dev metrics: {m1}\nfsdp metrics: {mn}"
+        )
     return report
 
 

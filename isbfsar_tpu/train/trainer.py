@@ -36,7 +36,12 @@ import optax
 
 from isbfsar_tpu.configs import ARConfig
 from isbfsar_tpu.models.trx import TRXOS
-from isbfsar_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from isbfsar_tpu.parallel.mesh import (
+    make_mesh,
+    replicate,
+    shard_batch,
+    shard_params_fsdp,
+)
 from isbfsar_tpu.utils import checkpoint as ckpt
 from isbfsar_tpu.utils.metrics import MetricsLogger, binary_prf
 
@@ -133,6 +138,7 @@ class Trainer:
         log_dir: str = "runs/trx",
         seed: int = 0,
         use_wandb: bool = True,
+        param_sharding: str = "replicated",
     ):
         self.cfg = config
         self.model = TRXOS(config)
@@ -142,8 +148,19 @@ class Trainer:
         self.logger = MetricsLogger(log_dir, use_wandb=use_wandb)
         self.ckpt_dir = config.checkpoint_dir or f"{log_dir}/checkpoints"
 
+        # param_sharding="fsdp" shards params + optimizer state over the dp
+        # axis (ZeRO; parallel/mesh.py shard_params_fsdp) — per-device memory
+        # drops ~n-fold while the step stays numerically equivalent
+        # (parallel/parity.py fsdp_parity_check certifies it). BN stats stay
+        # replicated: they are small and every device needs them per step.
+        if param_sharding not in ("replicated", "fsdp"):
+            raise ValueError(f"param_sharding: {param_sharding!r} not in "
+                             f"('replicated', 'fsdp')")
+        self.param_sharding = param_sharding
+        place = replicate if param_sharding == "replicated" else shard_params_fsdp
+
         variables = self._init_params(seed)
-        self.params = replicate(variables["params"], self.mesh)
+        self.params = place(variables["params"], self.mesh)
         self.batch_stats = replicate(variables.get("batch_stats", {}), self.mesh)
 
         steps_per_epoch = max(1, (config.n_task // config.batch_size))
@@ -158,7 +175,7 @@ class Trainer:
         self.optimizer = optax.MultiSteps(
             optax.sgd(schedule), every_k_schedule=max(1, config.optimize_every)
         )
-        self.opt_state = replicate(self.optimizer.init(self.params), self.mesh)
+        self.opt_state = place(self.optimizer.init(self.params), self.mesh)
 
         loss_fn = make_loss_fn(self.model, config)
 
