@@ -334,15 +334,29 @@ def _await_backend_or_die(timeout_s: float, _exit=None) -> None:
     import jax
 
     done = threading.Event()
-    threading.Thread(target=lambda: (jax.devices(), done.set()),
-                     daemon=True).start()
-    if not done.wait(timeout_s):
+    failure = []
+
+    def _init():
+        # A FAST exception (bad platform config, refused connection) must
+        # not masquerade as a wedge: record it, then let the wait wake and
+        # report the real cause immediately instead of sleeping out the
+        # timeout claiming "not a code failure".
+        try:
+            jax.devices()
+        except Exception as e:  # pragma: no cover - backend-specific
+            failure.append(f"{type(e).__name__}: {e}")
+        finally:
+            done.set()
+
+    threading.Thread(target=_init, daemon=True).start()
+    if not done.wait(timeout_s) or failure:
+        cause = (failure[0] if failure else
+                 f"tpu backend init exceeded {timeout_s:.0f}s "
+                 "— relay unreachable/wedged, not a code failure "
+                 "(docs/PERF.md relay cost model)")
         print(json.dumps({
             "metric": "e2e_fps", "value": 0.0, "unit": "fps",
-            "vs_baseline": 0.0,
-            "error": f"tpu backend init exceeded {timeout_s:.0f}s "
-                     "— relay unreachable/wedged, not a code failure "
-                     "(docs/PERF.md relay cost model)",
+            "vs_baseline": 0.0, "error": cause,
         }))
         sys.stdout.flush()
         import os
@@ -364,6 +378,7 @@ def main() -> None:
     parser.add_argument("--config", default="all",
                         choices=["all", "full", "ar", "fsos", "hpe", "focus"])
     parser.add_argument("--param-dtype", default="float32",
+                        choices=["float32", "bfloat16"],
                         help="fused-pipeline parameter storage dtype "
                              "('bfloat16' = trunk-weight cast A/B)")
     parser.add_argument("--init-timeout", type=float, default=240.0,

@@ -21,6 +21,17 @@ import jax
 import numpy as np
 
 
+def _max_diff(a, b) -> float:
+    """Worst absolute per-leaf deviation between two pytrees (tree-mapped,
+    so a structure mismatch raises instead of silently mispairing leaves)."""
+    diffs = jax.tree.leaves(
+        jax.tree.map(
+            lambda x, y: float(np.abs(np.asarray(x) - np.asarray(y)).max()), a, b
+        )
+    )
+    return max(diffs) if diffs else 0.0
+
+
 def _one_step_params(cfg, mesh, batch, seed: int = 0,
                      param_sharding: str = "replicated"):
     from isbfsar_tpu.train.trainer import Trainer
@@ -123,12 +134,6 @@ def dp_parity_check(n_devices: int, atol: float = 2e-6,
     p1, s1, m1, (p_init, s_init), _ = _one_step_params(cfg, make_mesh(1), batch)
     pn, sn, mn, _, _ = _one_step_params(cfg, make_mesh(n_devices), batch)
 
-    def max_diff(a, b):
-        diffs = jax.tree.leaves(
-            jax.tree.map(lambda x, y: float(np.abs(np.asarray(x) - np.asarray(y)).max()), a, b)
-        )
-        return max(diffs) if diffs else 0.0
-
     def l2(tree):
         return float(np.sqrt(sum(
             float((np.asarray(x) ** 2).sum()) for x in jax.tree.leaves(tree)
@@ -143,18 +148,18 @@ def dp_parity_check(n_devices: int, atol: float = 2e-6,
         )
         # The stats must have moved OFF THEIR INIT (means 0, vars 1 — so a
         # plain |stats| > 0 test would pass vacuously on an untouched
-        # tree): max_diff tree-maps, so a structure mismatch raises instead
+        # tree): _max_diff tree-maps, so a structure mismatch raises instead
         # of silently mispairing leaves.
-        assert max_diff(s1, s_init) > 0.0, (
+        assert _max_diff(s1, s_init) > 0.0, (
             "BN stats never updated during the parity step"
         )
 
     diff_tree = jax.tree.map(lambda a, b: np.asarray(a) - np.asarray(b), p1, pn)
     update_tree = jax.tree.map(lambda a, b: np.asarray(a) - np.asarray(b), p1, p_init)
     report = {
-        "max_param_diff": max_diff(p1, pn),
+        "max_param_diff": _max_diff(p1, pn),
         "param_rel_diff": l2(diff_tree) / max(l2(update_tree), 1e-12),
-        "max_stats_diff": max_diff(s1, sn),
+        "max_stats_diff": _max_diff(s1, sn),
         "max_metric_diff": max(
             abs(float(m1[k]) - float(mn[k])) for k in m1 if k in mn
         ),
@@ -220,15 +225,9 @@ def fsdp_parity_check(n_devices: int, atol: float = 2e-6) -> Dict[str, float]:
         f"elements) — the certificate would be vacuous"
     )
 
-    def max_diff(a, b):
-        diffs = jax.tree.leaves(
-            jax.tree.map(lambda x, y: float(np.abs(np.asarray(x) - np.asarray(y)).max()), a, b)
-        )
-        return max(diffs) if diffs else 0.0
-
     report = {
-        "max_param_diff": max_diff(p1, pn),
-        "max_stats_diff": max_diff(s1, sn),
+        "max_param_diff": _max_diff(p1, pn),
+        "max_stats_diff": _max_diff(s1, sn),
         "max_metric_diff": max(
             abs(float(m1[k]) - float(mn[k])) for k in m1 if k in mn
         ),

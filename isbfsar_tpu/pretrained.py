@@ -30,8 +30,8 @@ import os
 from typing import Any, Callable, Dict, NamedTuple
 
 from isbfsar_tpu.utils.cache import (
-    BUNDLED_PRETRAINED_DIR,
     params_cache_digest,
+    pretrained_bundle_dir,
 )
 
 MANIFEST_NAME = "MANIFEST.json"
@@ -84,7 +84,7 @@ def _specs() -> Dict[str, Spec]:
 
 
 def bundle_dir() -> str:
-    return os.environ.get("ISBFSAR_PRETRAINED_DIR", BUNDLED_PRETRAINED_DIR)
+    return pretrained_bundle_dir()
 
 
 def _manifest() -> Dict[str, Dict[str, str]]:
@@ -120,9 +120,13 @@ def load(name: str) -> Any:
 
 
 def verify() -> Dict[str, str]:
-    """Assert every manifest entry is fresh: its digest (recomputed from the
-    LIVE trainer keys) must equal the shipped filename. Returns
-    name -> digest on success; raises with the stale names otherwise."""
+    """Assert the bundle and the registry agree BOTH ways: every manifest
+    entry is fresh (its digest, recomputed from the LIVE trainer keys, must
+    equal the shipped filename) AND every registered spec is actually
+    bundled (a fixture added to ``_specs()`` without rerunning
+    ``tools/bundle_pretrained.py`` would otherwise ship weightless and only
+    surface as a minutes-long refit on a cold machine). Returns
+    name -> digest on success; raises naming the offenders otherwise."""
     specs = _specs()
     manifest = _manifest()
     stale, out = [], {}
@@ -133,10 +137,12 @@ def verify() -> Dict[str, str]:
             stale.append(name)
         else:
             out[name] = digest
-    if stale:
+    unbundled = sorted(set(specs) - set(manifest))
+    if stale or unbundled:
         raise AssertionError(
-            f"pretrained bundle stale for {stale}: trainer keys/budgets "
-            f"moved since the bundle was built — regenerate with "
-            f"tools/bundle_pretrained.py"
+            f"pretrained bundle out of sync — stale entries {stale} "
+            f"(trainer keys/budgets moved since the bundle was built), "
+            f"specs missing from the manifest {unbundled} — regenerate "
+            f"with tools/bundle_pretrained.py"
         )
     return out

@@ -35,6 +35,14 @@ def params_cache_digest(key: str, version: str) -> str:
     return hashlib.sha256(f"v{version}:{key}".encode()).hexdigest()[:24]
 
 
+def pretrained_bundle_dir() -> str:
+    """The SINGLE resolution point for the read-only pretrained bundle —
+    both the cache lookup here and :mod:`isbfsar_tpu.pretrained`'s API use
+    it, so an env override (`ISBFSAR_PRETRAINED_DIR`, used by tests) can
+    never redirect one consumer and not the other."""
+    return os.environ.get("ISBFSAR_PRETRAINED_DIR", BUNDLED_PRETRAINED_DIR)
+
+
 def enable_compile_cache(cache_dir: str = "") -> None:
     """Enable the persistent XLA compile cache (idempotent).
 
@@ -78,7 +86,7 @@ def cached_params(key: str, builder: Callable[[], Any], version: str = "1",
     cache_dir = cache_dir or os.environ.get(
         "ISBFSAR_PARAMS_CACHE", DEFAULT_PARAMS_CACHE_DIR
     )
-    bundle_dir = os.environ.get("ISBFSAR_PRETRAINED_DIR", BUNDLED_PRETRAINED_DIR)
+    bundle_dir = pretrained_bundle_dir()
     digest = params_cache_digest(key, version)
     path = os.path.join(cache_dir, f"{digest}.msgpack")
     for candidate in (os.path.join(bundle_dir, f"{digest}.msgpack"), path):

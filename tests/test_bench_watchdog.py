@@ -32,6 +32,25 @@ def test_watchdog_emits_error_line_on_init_hang(monkeypatch, capsys):
     assert "relay" in out["error"]
 
 
+def test_watchdog_reports_fast_init_failure_immediately(monkeypatch, capsys):
+    """An EXCEPTION from jax.devices() (bad platform config, refused
+    connection) is a code/config failure, not a wedge: it must be reported
+    with the real cause, immediately — not after sleeping out the timeout
+    under a 'not a code failure' banner."""
+    def boom():
+        raise RuntimeError("Unable to initialize backend 'axon'")
+
+    monkeypatch.setattr(jax, "devices", boom)
+    calls = []
+    t0 = time.perf_counter()
+    bench._await_backend_or_die(30.0, _exit=calls.append)
+    assert time.perf_counter() - t0 < 5.0  # did not sleep out the timeout
+    assert calls == [1]
+    out = json.loads(capsys.readouterr().out.strip())
+    assert "RuntimeError" in out["error"] and "axon" in out["error"]
+    assert "not a code failure" not in out["error"]
+
+
 def test_watchdog_passes_through_on_healthy_backend(capsys):
     calls = []
     bench._await_backend_or_die(30.0, _exit=calls.append)

@@ -49,10 +49,9 @@ def test_fsdp_step_matches_single_device():
     assert report["sharded_elem_frac"] > 0.5
 
 
-@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_fsdp_spec_rule():
     """The placement rule itself: largest n-divisible dim sharded, small or
-    indivisible leaves replicated."""
+    indivisible leaves replicated. Pure shape logic — needs no devices."""
     from jax.sharding import PartitionSpec as P
 
     from isbfsar_tpu.parallel.mesh import fsdp_spec

@@ -43,6 +43,24 @@ class TestBundle:
         with pytest.raises(KeyError, match="available"):
             pretrained.load("nope")
 
+    def test_verify_flags_unbundled_spec(self, monkeypatch):
+        """verify() must fail BOTH ways: a spec registered in _specs() but
+        absent from the shipped manifest would ship weightless (cold
+        machines refit for minutes) — it must be named, not skipped."""
+        real_specs = pretrained._specs()
+
+        def with_extra():
+            specs = dict(real_specs)
+            specs["pose-unbundled"] = pretrained.Spec(
+                lambda: "posestack:not-in-any-bundle", "1",
+                lambda: None, "registered but never bundled",
+            )
+            return specs
+
+        monkeypatch.setattr(pretrained, "_specs", with_extra)
+        with pytest.raises(AssertionError, match="pose-unbundled"):
+            pretrained.verify()
+
 
 class TestCacheLookupOrder:
     def test_bundle_hit_skips_training(self, tmp_path, monkeypatch):

@@ -114,11 +114,18 @@ class TestWorkdirFingerprint:
             run_workflow(self._params(), str(wd),
                          intrinsics=CameraIntrinsics(), **self.KW)
 
-    def test_legacy_dir_without_manifest_refused(self, tmp_path):
+    @pytest.mark.parametrize("artifact", [
+        "videos_train", "videos_test_queries", "videos_test_exemplars",
+        "tree_train", "tree_test_q", "tree_test_ex",
+    ])
+    def test_legacy_dir_without_manifest_refused(self, tmp_path, artifact):
+        """EVERY resumable artifact dir triggers the refusal — a partial
+        probe would let a dir holding only the unchecked artifacts be
+        silently stamped and resumed."""
         from isbfsar_tpu.configs import CameraIntrinsics
 
         wd = tmp_path / "wf"
-        (wd / "videos_train").mkdir(parents=True)
+        (wd / artifact).mkdir(parents=True)
         with pytest.raises(ValueError, match="no manifest"):
             run_workflow(self._params(), str(wd),
                          intrinsics=CameraIntrinsics(), **self.KW)

@@ -194,7 +194,9 @@ def run_workflow(
                 f"run — use a fresh --workdir (or delete this one)"
             )
     elif any(os.path.isdir(os.path.join(workdir, d))
-             for d in ("videos_train", "videos_test_queries", "tree_train")):
+             for d in ("videos_train", "videos_test_queries",
+                       "videos_test_exemplars", "tree_train", "tree_test_q",
+                       "tree_test_ex")):
         # legacy/foreign dir: has resumable artifacts but no manifest — we
         # cannot prove they match this configuration, so refuse rather than
         # stamp the new fingerprint onto unknown data
