@@ -319,41 +319,14 @@ def bench_focus() -> dict:
 
 
 def _await_backend_or_die(timeout_s: float, _exit=None) -> None:
-    """Backend-init watchdog: ``jax.devices()`` through a wedged relay never
-    returns — not a slow compile, a dead socket (observed hours-long;
-    docs/PERF.md relay cost model). Run the init in a daemon thread so a
-    wedge produces a diagnosable artifact line (still the driver's
-    one-JSON-line contract) instead of an eternal hang. Only INIT is
-    gated; compiles (legitimately ~15 min cold) run after this returns.
-    0 disables. ``_exit`` is injectable for tests (default ``os._exit`` —
-    a plain ``sys.exit`` would wait on the stuck non-daemon runtime)."""
-    if timeout_s <= 0:
-        return
-    import threading
+    """Gate backend init on ``utils.watchdog.await_backend`` and turn a
+    failure into the driver's one-JSON-line contract + exit(1). ``_exit``
+    is injectable for tests (default ``os._exit`` — a plain ``sys.exit``
+    would wait on the stuck non-daemon runtime)."""
+    from isbfsar_tpu.utils.watchdog import await_backend
 
-    import jax
-
-    done = threading.Event()
-    failure = []
-
-    def _init():
-        # A FAST exception (bad platform config, refused connection) must
-        # not masquerade as a wedge: record it, then let the wait wake and
-        # report the real cause immediately instead of sleeping out the
-        # timeout claiming "not a code failure".
-        try:
-            jax.devices()
-        except Exception as e:  # pragma: no cover - backend-specific
-            failure.append(f"{type(e).__name__}: {e}")
-        finally:
-            done.set()
-
-    threading.Thread(target=_init, daemon=True).start()
-    if not done.wait(timeout_s) or failure:
-        cause = (failure[0] if failure else
-                 f"tpu backend init exceeded {timeout_s:.0f}s "
-                 "— relay unreachable/wedged, not a code failure "
-                 "(docs/PERF.md relay cost model)")
+    cause = await_backend(timeout_s)
+    if cause is not None:
         print(json.dumps({
             "metric": "e2e_fps", "value": 0.0, "unit": "fps",
             "vs_baseline": 0.0, "error": cause,

@@ -131,7 +131,18 @@ def main() -> None:
                              "programs — 'bfloat16' audits the trunk-weight "
                              "storage cast (expect the bytes term to drop "
                              "~2x-of-weights; docs/PERF.md)")
+    parser.add_argument("--init-timeout", type=float, default=240.0,
+                        help="seconds to wait for backend init before "
+                             "erroring out instead of hanging on a wedged "
+                             "relay (0 disables)")
     args = parser.parse_args()
+
+    from isbfsar_tpu.utils.watchdog import await_backend
+
+    cause = await_backend(args.init_timeout)
+    if cause is not None:
+        print(f"[roofline] FATAL: {cause}", file=sys.stderr)
+        os._exit(2)
 
     import jax
     import jax.numpy as jnp
