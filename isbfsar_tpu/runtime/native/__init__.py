@@ -76,6 +76,8 @@ def _load() -> ctypes.CDLL:
         lib.shmq_pop.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint64, ctypes.c_int]
         lib.shmq_size.restype = ctypes.c_uint32
         lib.shmq_size.argtypes = [ctypes.c_void_p]
+        lib.shmq_slot_size.restype = ctypes.c_uint64
+        lib.shmq_slot_size.argtypes = [ctypes.c_void_p]
         lib.shmq_close.argtypes = [ctypes.c_void_p]
         _lib = lib
     return _lib
@@ -102,7 +104,10 @@ class ShmBytesQueue:
         if not self._h:
             raise ShmQueueError(f"cannot {'create' if create else 'open'} shm queue {name!r}")
         self._lib = lib
-        self.slot_size = slot_size
+        # Openers adopt the segment's REAL slot size (the creator picked
+        # it); a caller-guessed size would mis-bound put/get and only fail
+        # later with an opaque push/pop error.
+        self.slot_size = int(lib.shmq_slot_size(self._h)) if not create else slot_size
 
     def put(self, data: bytes, timeout_ms: int = 60_000) -> None:
         rc = self._lib.shmq_push(self._h, data, len(data), timeout_ms)
@@ -143,6 +148,21 @@ class ShmFrameQueue:
         self.meta_size = meta_size
         self._slot = 4 + meta_size + self.frame_bytes
         self._q = ShmBytesQueue(name, self._slot, capacity, create)
+        if not create and self._q.slot_size != self._slot:
+            # Geometry handshake: the creator sized the ring for ITS frame
+            # shape; a different opener shape means the two processes
+            # disagree on the camera resolution. Failing here names the
+            # cause — otherwise a larger frame dies later as an opaque
+            # "push failed" and a smaller one as a reshape error on the
+            # consumer side.
+            seg = self._q.slot_size - 4 - meta_size
+            self._q.close()
+            raise ShmQueueError(
+                f"shm ring {name!r} was created for {seg}-byte frames but "
+                f"this side opened it for shape {self.frame_shape} "
+                f"({self.frame_bytes} bytes) — the serve config's cam "
+                f"height/width and the actual source frames disagree"
+            )
 
         self._recv_buf = np.empty(self._slot, np.uint8)  # reused pop target
 

@@ -227,6 +227,15 @@ int64_t shmq_pop(void* handle, void* out, uint64_t cap, int timeout_ms) {
   return static_cast<int64_t>(len);
 }
 
+// The segment's actual slot size — openers use it to validate that the
+// geometry they expect (frame shape, pickle budget) matches what the
+// creator built, instead of failing later with an opaque push/reshape error.
+uint64_t shmq_slot_size(void* handle) {
+  Handle* h = static_cast<Handle*>(handle);
+  if (!h || !h->hdr) return 0;
+  return h->hdr->slot_size;
+}
+
 uint32_t shmq_size(void* handle) {
   Handle* h = static_cast<Handle*>(handle);
   return h != nullptr ? h->hdr->count : 0;

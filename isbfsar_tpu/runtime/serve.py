@@ -65,7 +65,8 @@ def main() -> None:
         from isbfsar_tpu.runtime.shm_transport import serve_queues
 
         in_q, out_q = serve_queues(
-            (config.main.cam_height, config.main.cam_width, 3)
+            (config.main.cam_height, config.main.cam_width, 3),
+            rgb_size=config.ar.rgb_size,
         )
     else:
         client = QueueClient(args.hub)

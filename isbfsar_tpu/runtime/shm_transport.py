@@ -56,9 +56,18 @@ class ShmFrameChannel:
         self._timeout_ms = timeout_ms
 
     def put(self, data: Dict[str, Any]) -> None:
+        # blocking-queue contract on BOTH ends (queue.Queue semantics): the
+        # consumer may legitimately pause for minutes mid-stream (a cold
+        # fused-program compile) with the capacity-1 slot full — retry
+        # through the ring's internal timeout instead of raising
         extra = {k: v for k, v in data.items() if k not in ("rgb", "msg")}
-        self._q.put(data.get("rgb"), data.get("msg", ""), extra=extra or None,
-                    timeout_ms=self._timeout_ms)
+        while True:
+            try:
+                return self._q.put(data.get("rgb"), data.get("msg", ""),
+                                   extra=extra or None,
+                                   timeout_ms=self._timeout_ms)
+            except ShmQueueTimeout:
+                continue
 
     def get(self) -> Dict[str, Any]:
         # the hub contract blocks indefinitely (queue.Queue.get) — a serve
@@ -87,7 +96,8 @@ class ShmObjectQueue:
                  create: bool = True, timeout_ms: int = _DEFAULT_TIMEOUT_MS):
         self._q = ShmBytesQueue(name, slot_size if create else 0,
                                 capacity, create)
-        self.slot_size = slot_size
+        # openers adopt the segment's REAL slot size (the creator picked it)
+        self.slot_size = self._q.slot_size
         self._timeout_ms = timeout_ms
 
     def put(self, obj: Any) -> None:
@@ -96,7 +106,11 @@ class ShmObjectQueue:
             raise ShmQueueError(
                 f"object pickles to {len(data)} bytes > slot {self.slot_size}"
             )
-        self._q.put(data, timeout_ms=self._timeout_ms)
+        while True:  # blocking queue contract — see ShmFrameChannel.put
+            try:
+                return self._q.put(data, timeout_ms=self._timeout_ms)
+            except ShmQueueTimeout:
+                continue
 
     def get(self) -> Any:
         while True:  # blocking queue contract — see ShmFrameChannel.get
@@ -110,19 +124,27 @@ class ShmObjectQueue:
         self._q.close()
 
 
-def _elements_slot(frame_shape: Tuple[int, int, int]) -> int:
-    # pickled img dominates; pose/probs/strings ride in the slack
-    return int(np.prod(frame_shape)) + (256 << 10)
+def _elements_slot(frame_shape: Tuple[int, int, int],
+                   rgb_size: int = 224) -> int:
+    # Sized for the LARGEST elements dict: rgb/hybrid frames carry BOTH the
+    # raw img (frame bytes) and img_preprocessed — a whitened float64
+    # (rgb_size, rgb_size, 3) crop, ~1.2 MB at the default 224
+    # (orchestrator.preprocess_ar_crop) — plus pose/probs/strings in the
+    # slack. Shared memory is cheap at capacity 1; undersizing fails the
+    # serve loop on its first detection.
+    return int(np.prod(frame_shape)) + (8 * rgb_size * rgb_size * 3) + (512 << 10)
 
 
 def serve_queues(frame_shape: Tuple[int, int, int] = (480, 640, 3),
-                 prefix: str = ""):
+                 prefix: str = "", rgb_size: int = 224):
     """Create both channels (serve side). Returns (in_q, out_q) with the
     orchestrator's queue contract: ``in_q.get() -> {rgb, msg}``,
-    ``out_q.put(elements)``."""
+    ``out_q.put(elements)``. ``rgb_size`` sizes the result slot for the
+    AR crop the elements carry in rgb/hybrid modes (ARConfig.rgb_size)."""
     in_q = ShmFrameChannel(_name(prefix, SRC2SRV), frame_shape, create=True)
-    out_q = ShmObjectQueue(_name(prefix, SRV2SRC),
-                           slot_size=_elements_slot(frame_shape), create=True)
+    out_q = ShmObjectQueue(
+        _name(prefix, SRV2SRC),
+        slot_size=_elements_slot(frame_shape, rgb_size), create=True)
     return in_q, out_q
 
 
@@ -145,7 +167,6 @@ def source_queues(frame_shape: Tuple[int, int, int] = (480, 640, 3),
                     f"runtime.serve --hub shm` running on this host?"
                 )
             time.sleep(0.5)
-    from_compute = ShmObjectQueue(_name(prefix, SRV2SRC),
-                                  slot_size=_elements_slot(frame_shape),
-                                  create=False)
+    # slot size is adopted from the segment the serve side created
+    from_compute = ShmObjectQueue(_name(prefix, SRV2SRC), create=False)
     return to_compute, from_compute

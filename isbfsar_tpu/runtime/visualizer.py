@@ -323,12 +323,14 @@ class GUIVisualizer:
         rows = []
         for i in range(self.MAX_ACTION_ROWS):
             y = 0.6 - 0.1 * i
-            # labels are background-dynamic: text layout is the most
-            # expensive per-frame draw, and names/colors change rarely —
-            # they live in the cached background, which _render_frame
-            # re-captures when the label key changes
+            # labels are ANIMATED (redrawn per blit): their color is the
+            # accept-state cue, which can legitimately flip every frame as
+            # is_true hovers around the threshold — keying the cached
+            # background on it would force a full canvas.draw() on every
+            # flicker, exactly when actions are displayed. Drawing ≤5 short
+            # texts per frame is far cheaper than one background recapture.
             label = ax.text(3 / 16, y, "", color="white", ha="center",
-                            va="center")
+                            va="center", **anim)
             rf = _Rect((7 / 16 - 0.025, y - 0.03), 0.05, 0.06, color="red", **anim)
             fs = _Rect((0.5, y - 0.03), 0.0, 0.06, color="red", **anim)
             osb = _Rect((0.75, y - 0.03), 0.0, 0.06, color="red", **anim)
@@ -451,13 +453,15 @@ class GUIVisualizer:
                     )
                 else:
                     img = img.copy()
+                # colors are BGR here — the display conversion below swaps
+                # channels, so "red" must be written (0, 0, 255)
                 if elements.get("bbox") is not None:
                     x1, x2, y1, y2 = (int(v) for v in elements["bbox"])
                     cv2.rectangle(img, (int(x1 * sx), int(y1 * sy)),
-                                  (int(x2 * sx), int(y2 * sy)), (0, 0, 255), 2)
+                                  (int(x2 * sx), int(y2 * sy)), (255, 0, 0), 2)
                 if elements.get("face_bbox") is not None:
                     x1, y1, x2, y2 = (int(v) for v in np.asarray(elements["face_bbox"]).reshape(-1))
-                    color = (0, 255, 0) if focus else (255, 0, 0)
+                    color = (0, 255, 0) if focus else (0, 0, 255)
                     cv2.rectangle(img, (int(x1 * sx), int(y1 * sy)),
                                   (int(x2 * sx), int(y2 * sy)), color, 2)
                 img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
@@ -476,24 +480,22 @@ class GUIVisualizer:
         art["log"].set_text(self.log_text)
 
     def _dynamic_artists(self):
-        """Foreground (animated=True) artists redrawn every frame. Row
-        labels / input / log are background-dynamic — see _render_frame."""
+        """Foreground (animated=True) artists redrawn every frame. Input /
+        log texts are background-dynamic — see _render_frame."""
         art = self._art
         out = [art["bones"], art["joints"], art["dist"], art["focus"], art["fps"]]
         for row in art["rows"]:
-            out += [row["rf"], row["fs"], row["os"]]
+            out += [row["label"], row["rf"], row["fs"], row["os"]]
         if art["image"] is not None:
             out.append(art["image"])
         return out
 
     def _bg_key(self):
         """Content signature of the background-dynamic artists: when it
-        moves, the cached background is re-captured (one full draw)."""
-        art = self._art
-        labels = tuple(
-            (r["label"].get_text(), r["label"].get_color()) for r in art["rows"]
-        )
-        return (labels, self.input_text, self.log_text)
+        moves, the cached background is re-captured (one full draw).
+        Action-row labels are NOT here — they are animated artists (their
+        accept-state color can flip per frame)."""
+        return (self.input_text, self.log_text)
 
     def _render_frame(self, elements: Dict[str, Any]) -> None:
         """Update artists; restore the cached background (static chrome +

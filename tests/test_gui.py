@@ -86,6 +86,53 @@ class TestGUIVisualizer:
                             pose=ELEMENTS["pose"] + 0.4))
         assert np.abs(a.astype(int) - b.astype(int)).max() > 0
 
+    def test_focus_cue_colors(self, gui):
+        """The operator-facing focus cue (class docstring + reference
+        output.py face box): face box GREEN when in focus, RED otherwise;
+        person box blue. Guards the BGR-vs-RGB draw-order trap — boxes are
+        drawn on the BGR frame BEFORE the display conversion, so a tuple
+        written as RGB silently flips red<->blue."""
+        els = dict(
+            fps=1.0, img=np.zeros((480, 640, 3), np.uint8), actions={},
+            bbox=(60, 560, 40, 440), face_bbox=np.asarray([200, 100, 400, 300]),
+            focus=False,
+        )
+
+        def panel_pixels(out):
+            bb = gui.ax_img.get_window_extent()
+            H = out.shape[0]  # buffer row 0 = top; extents are bottom-origin
+            return out[H - int(bb.y1):H - int(bb.y0),
+                       int(bb.x0):int(bb.x1)].astype(int)
+
+        p = panel_pixels(gui.render(els))
+        red = (p[..., 0] > 150) & (p[..., 1] < 90) & (p[..., 2] < 90)
+        blue = (p[..., 2] > 150) & (p[..., 0] < 90) & (p[..., 1] < 90)
+        green = (p[..., 1] > 150) & (p[..., 0] < 90) & (p[..., 2] < 90)
+        assert red.sum() > 50, "not-in-focus face box must render red"
+        assert blue.sum() > 50, "person box must render blue"
+        assert green.sum() < 10
+
+        p2 = panel_pixels(gui.render(dict(els, focus=True)))
+        red2 = (p2[..., 0] > 150) & (p2[..., 1] < 90) & (p2[..., 2] < 90)
+        green2 = (p2[..., 1] > 150) & (p2[..., 0] < 90) & (p2[..., 2] < 90)
+        assert green2.sum() > 50, "in-focus face box must render green"
+        assert red2.sum() < 10
+
+    def test_label_flicker_keeps_blit_background(self, gui):
+        """An action's accept-state color flipping (is_true hovering around
+        the 0.66 threshold) must NOT invalidate the cached blit background —
+        labels are animated artists, so the flip costs a text draw, not the
+        full canvas.draw() the blit design exists to avoid."""
+        els = dict(ELEMENTS)
+        gui.render(dict(els, is_true=0.7))
+        bg = gui._bg
+        a = gui.render(dict(els, is_true=0.5))  # best action: accepted -> not
+        assert gui._bg is bg, "label color flip recaptured the background"
+        b = gui.render(dict(els, is_true=0.9))  # flips back
+        assert gui._bg is bg
+        # the cue itself still renders (labels are drawn per frame)
+        assert np.abs(a.astype(int) - b.astype(int)).max() > 0
+
     def test_offscreen_render_rate(self, gui):
         """VERDICT r2 weak #4: the panel must sustain camera rate. Measure
         the steady-state offscreen render of a changing elements stream —

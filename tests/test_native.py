@@ -240,3 +240,91 @@ class TestShmTransport:
             assert out["msg"] == "late"
         finally:
             ch.close()
+
+    def test_put_blocks_through_internal_timeouts(self):
+        """PUT blocks too (queue.Queue.put semantics): with the capacity-1
+        slot full and the consumer pausing past the ring's internal timeout
+        (a cold fused-program compile), the producer must keep waiting, not
+        die with ShmQueueTimeout (regression: put raised after 120 s while
+        serve was still warming up, killing the source process)."""
+        import threading
+
+        from isbfsar_tpu.runtime.shm_transport import ShmFrameChannel
+
+        ch = ShmFrameChannel("/isbfsar_test_putblock", (8, 8, 3), create=True,
+                             timeout_ms=100)
+        try:
+            ch.put({"rgb": np.zeros((8, 8, 3), np.uint8), "msg": "first"})
+            done = threading.Event()
+
+            def second_put():
+                # slot is full; the consumer won't drain for >3 timeout cycles
+                ch.put({"rgb": np.ones((8, 8, 3), np.uint8), "msg": "second"})
+                done.set()
+
+            threading.Thread(target=second_put, daemon=True).start()
+            time.sleep(0.35)
+            assert not done.is_set()  # still (correctly) waiting, not dead
+            assert ch.get()["msg"] == "first"
+            assert ch.get()["msg"] == "second"
+            assert done.wait(5.0)
+        finally:
+            ch.close()
+
+    def test_elements_slot_fits_rgb_mode_payload(self):
+        """The result slot must hold the rgb/hybrid elements dict: raw img
+        PLUS the whitened float64 AR crop (orchestrator.preprocess_ar_crop)
+        — regression: slot was frame+256KB, and the ~1.2 MB crop overflowed
+        it on the first detection."""
+        from isbfsar_tpu.runtime.shm_transport import ShmObjectQueue, _elements_slot
+
+        shape = (480, 640, 3)
+        q = ShmObjectQueue("/isbfsar_test_rgbslot",
+                           slot_size=_elements_slot(shape))
+        try:
+            elements = {
+                "img": np.zeros(shape, np.uint8),
+                "img_preprocessed": np.zeros((224, 224, 3), np.float64),
+                "pose": np.zeros((30, 3), np.float32),
+                "bbox": (1, 2, 3, 4),
+                "actions": {"wave": 0.9},
+                "is_true": 0.5,
+                "requires_focus": {"wave": True},
+                "fps": 30.0,
+                "log": "x" * 200,
+            }
+            q.put(elements)
+            out = q.get()
+            assert out["img_preprocessed"].shape == (224, 224, 3)
+        finally:
+            q.close()
+
+    def test_opener_adopts_segment_slot_size(self):
+        """An opener must use the CREATOR's slot size, whatever it guessed —
+        otherwise its put/get bounds disagree with the ring's real geometry."""
+        from isbfsar_tpu.runtime.shm_transport import ShmObjectQueue
+
+        creator = ShmObjectQueue("/isbfsar_test_adopt", slot_size=1 << 20)
+        try:
+            opener = ShmObjectQueue("/isbfsar_test_adopt", create=False,
+                                    slot_size=64)  # wrong guess, ignored
+            assert opener.slot_size == 1 << 20
+            big = np.zeros(300_000, np.uint8)  # > the 64-byte guess
+            creator.put({"x": big})
+            assert opener.get()["x"].nbytes == big.nbytes
+            opener.close()
+        finally:
+            creator.close()
+
+    def test_frame_ring_geometry_handshake(self):
+        """Opening a frame ring with a different frame shape than it was
+        created for must fail IMMEDIATELY with a message naming the
+        resolution mismatch — not later as an opaque push/reshape error."""
+        from isbfsar_tpu.runtime.native import ShmFrameQueue, ShmQueueError
+
+        creator = ShmFrameQueue("/isbfsar_test_geom", (48, 64, 3), create=True)
+        try:
+            with pytest.raises(ShmQueueError, match="disagree"):
+                ShmFrameQueue("/isbfsar_test_geom", (480, 640, 3), create=False)
+        finally:
+            creator.close()

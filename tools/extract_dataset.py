@@ -153,9 +153,17 @@ def main() -> None:
         dataclasses.replace(HPEConfig(), skeleton=None), CameraIntrinsics()
     )
     if args.checkpoint:
+        import jax
+
         from isbfsar_tpu.utils.checkpoint import load_checkpoint
 
-        estimator.params = load_checkpoint(args.checkpoint, estimator.params)
+        # device_put once: load_checkpoint returns a HOST numpy tree, and a
+        # host tree assigned to .params re-uploads on EVERY jitted call
+        # (~20-30 s/frame through a remote-attached chip — the round-3
+        # committed-params pathology, docs/PERF.md "Committed params").
+        estimator.params = jax.device_put(
+            load_checkpoint(args.checkpoint, estimator.params)
+        )
 
     extract_tree(estimator, args.videos, args.out, args.n_frames, args.with_images)
 
