@@ -44,8 +44,12 @@ def preprocess_ar_crop(img: np.ndarray, bbox, out: int = 224) -> np.ndarray:
     half = max(xm - x1, ym - y1, 1)
     crop = img[max(ym - half, 0): ym + half, max(xm - half, 0): xm + half]
     crop = cv2.resize(crop, (out, out))
-    crop = crop / 255.0
-    return crop * np.asarray(IMAGENET_SCALE) + np.asarray(IMAGENET_SHIFT)
+    # float32 throughout: the AR extractor computes in f32/bf16 anyway, and
+    # f64 would double the crop's bytes through every transport (shm slot,
+    # TCP hub pickle) and the H2D upload for zero precision benefit
+    crop = crop.astype(np.float32) / np.float32(255.0)
+    return (crop * np.asarray(IMAGENET_SCALE, np.float32)
+            + np.asarray(IMAGENET_SHIFT, np.float32))
 
 
 class Orchestrator:

@@ -127,11 +127,12 @@ class ShmObjectQueue:
 def _elements_slot(frame_shape: Tuple[int, int, int],
                    rgb_size: int = 224) -> int:
     # Sized for the LARGEST elements dict: rgb/hybrid frames carry BOTH the
-    # raw img (frame bytes) and img_preprocessed — a whitened float64
-    # (rgb_size, rgb_size, 3) crop, ~1.2 MB at the default 224
-    # (orchestrator.preprocess_ar_crop) — plus pose/probs/strings in the
-    # slack. Shared memory is cheap at capacity 1; undersizing fails the
-    # serve loop on its first detection.
+    # raw img (frame bytes) and img_preprocessed — a whitened float32
+    # (rgb_size, rgb_size, 3) crop (orchestrator.preprocess_ar_crop); the
+    # budget keeps 8 bytes/px (2x headroom) so a future dtype change can't
+    # silently overflow — plus pose/probs/strings in the slack. Shared
+    # memory is cheap at capacity 1; undersizing fails the serve loop on
+    # its first detection.
     return int(np.prod(frame_shape)) + (8 * rgb_size * rgb_size * 3) + (512 << 10)
 
 

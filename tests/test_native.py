@@ -273,9 +273,10 @@ class TestShmTransport:
 
     def test_elements_slot_fits_rgb_mode_payload(self):
         """The result slot must hold the rgb/hybrid elements dict: raw img
-        PLUS the whitened float64 AR crop (orchestrator.preprocess_ar_crop)
-        — regression: slot was frame+256KB, and the ~1.2 MB crop overflowed
-        it on the first detection."""
+        PLUS the whitened AR crop (orchestrator.preprocess_ar_crop; float64
+        below = the slot's 2x dtype headroom) — regression: slot was
+        frame+256KB, and the ~1.2 MB crop overflowed it on the first
+        detection."""
         from isbfsar_tpu.runtime.shm_transport import ShmObjectQueue, _elements_slot
 
         shape = (480, 640, 3)

@@ -437,6 +437,7 @@ class TestRgbHybridOrchestrator:
         assert "act" in elements["actions"]
         assert "img_preprocessed" in elements
         assert elements["img_preprocessed"].shape == (64, 64, 3)
+        assert elements["img_preprocessed"].dtype == np.float32
         # bbox order regression: the orchestrator unpacks (x1, x2, y1, y2)
         # for BOTH modes; just_box (rgb) must emit the same order — the
         # degenerate-box guard guarantees x2 >= x1+1 and y2 >= y1+1, which
