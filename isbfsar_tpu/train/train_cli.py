@@ -58,6 +58,11 @@ def main() -> None:
     parser.add_argument("--n-task", type=int, default=None)
     parser.add_argument("--log-dir", default="runs/trx")
     parser.add_argument("--resume", default=None, help="checkpoint to resume (msgpack file or orbax dir)")
+    parser.add_argument("--param-sharding", default="replicated",
+                        choices=["replicated", "fsdp"],
+                        help="fsdp = ZeRO parameter/optimizer-state sharding "
+                             "over the dp mesh (docs/SCALING.md; certified "
+                             "step-equivalent by parallel/parity.py)")
     args = parser.parse_args()
 
     from isbfsar_tpu.train.dataloader import EpisodicSampler, list_classes
@@ -84,16 +89,17 @@ def main() -> None:
     train_sampler.all_classes = train_classes or train_sampler.all_classes
     valid_sampler.all_classes = val_classes or valid_sampler.all_classes
 
-    trainer = Trainer(cfg, train_sampler, valid_sampler, log_dir=args.log_dir)
+    trainer = Trainer(cfg, train_sampler, valid_sampler, log_dir=args.log_dir,
+                      param_sharding=args.param_sharding)
     if args.resume:
         state = load_checkpoint(
             args.resume,
             {"params": trainer.params, "batch_stats": trainer.batch_stats,
              "opt_state": trainer.opt_state},
         )
-        trainer.params = state["params"]
-        trainer.batch_stats = state["batch_stats"]
-        trainer.opt_state = state["opt_state"]
+        # re-places every tree under the trainer's sharding rule (device
+        # residency + fsdp layout survive the restore)
+        trainer.load_state(state)
         print(f"[train] resumed from {args.resume}")
 
     summary = trainer.fit(n_epochs=args.epochs)

@@ -158,6 +158,7 @@ class Trainer:
                              f"('replicated', 'fsdp')")
         self.param_sharding = param_sharding
         place = replicate if param_sharding == "replicated" else shard_params_fsdp
+        self._place = place
 
         variables = self._init_params(seed)
         self.params = place(variables["params"], self.mesh)
@@ -265,6 +266,16 @@ class Trainer:
             "target_class": np.asarray(batch["target_class"], np.int32),
         }
         return shard_batch(keep, self.mesh)
+
+    def load_state(self, state: Dict) -> None:
+        """Adopt a restored checkpoint ({params, batch_stats, opt_state}),
+        re-placing every tree under THIS trainer's sharding rule. A raw
+        assignment of the restored host-numpy trees would re-upload them on
+        every step (the committed-params pathology, docs/PERF.md) and an
+        fsdp trainer would silently lose its parameter sharding."""
+        self.params = self._place(state["params"], self.mesh)
+        self.batch_stats = replicate(state.get("batch_stats", {}), self.mesh)
+        self.opt_state = self._place(state["opt_state"], self.mesh)
 
     def fit(self, n_epochs: Optional[int] = None, batches_fn=None) -> Dict[str, float]:
         """batches_fn(sampler, epoch) -> iterable of batches (injectable for tests)."""

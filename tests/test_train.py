@@ -180,6 +180,40 @@ class TestCheckpoint:
         )
         assert "params" in restored
 
+    def test_fsdp_resume_preserves_sharding(self, dataset, tmp_path):
+        """--resume with param_sharding='fsdp': Trainer.load_state must
+        re-place the restored host trees under the fsdp rule — values equal
+        to the saved run's, big leaves genuinely split across the mesh (a
+        raw assignment would silently train replicated off host numpy)."""
+        import jax
+
+        root, _ = dataset
+        sampler = EpisodicSampler(root, k=5, n_task=8, max_l=16, l=16, seed=3)
+        cfg = dataclasses.replace(CFG, n_task=8,
+                                  checkpoint_dir=str(tmp_path / "ck"))
+        t1 = Trainer(cfg, sampler, valid_sampler=None, mesh=make_mesh(8),
+                     log_dir=str(tmp_path / "r1"), use_wandb=False,
+                     param_sharding="fsdp")
+        t1.fit(n_epochs=1)
+
+        t2 = Trainer(cfg, sampler, valid_sampler=None, mesh=make_mesh(8),
+                     log_dir=str(tmp_path / "r2"), use_wandb=False,
+                     param_sharding="fsdp")
+        state = ckpt.load_checkpoint(
+            ckpt.latest_checkpoint(str(tmp_path / "ck")),
+            {"params": t2.params, "batch_stats": t2.batch_stats,
+             "opt_state": t2.opt_state},
+        )
+        t2.load_state(state)
+
+        for a, b in zip(jax.tree.leaves(t1.params), jax.tree.leaves(t2.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        sharded = [
+            x for x in jax.tree.leaves(t2.params)
+            if x.sharding.shard_shape(x.shape) != tuple(x.shape)
+        ]
+        assert len(sharded) >= 4, "restored params lost their fsdp sharding"
+
     def test_torch_trxos_import(self, rng):
         import torch
 
