@@ -87,3 +87,88 @@ def shard_params_fsdp(tree, mesh: Mesh, axis: str = "dp", min_size: int = 4096):
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree.map(place, tree)
+
+
+# --------------------------------------------------------------- tensor par
+
+# Megatron-style tensor-parallel placement for the TRX-OS parameter tree,
+# keyed by path SUFFIX so the optimizer state's gradient accumulators (same
+# trailing path under the MultiSteps prefix) land exactly like the params
+# they mirror. Each (column-parallel, row-parallel) pair keeps the
+# intermediate activation feature-sharded and costs one psum at the pair's
+# end; XLA's SPMD partitioner derives the collectives from these
+# annotations (the scaling-book recipe — annotate, let XLA place psums on
+# ICI). Pairings:
+#   sk_extractor  fc1 (90->180) column  ->  fc2 (180->256) row
+#   transformer   k_linear / v_linear (512->128) column: the attention
+#                 einsums then contract over the sharded feature dim
+#                 (scores, prototype-distance) -> psum per contraction
+#   discriminator reduce (128->L) row (its input — the chosen class's
+#                 tuple diffs — is already feature-sharded from v_linear),
+#                 fc1 (T*L->256) column -> fc2 (256->64) row
+# Anything unmatched (LayerNorms, fc3, ResNet trunk) stays replicated.
+_TP_RULES: Tuple[Tuple[Tuple[str, ...], Tuple[Optional[int], ...]], ...] = (
+    (("sk_extractor", "fc1", "kernel"), (None, 0)),
+    (("sk_extractor", "fc1", "bias"), (0,)),
+    (("sk_extractor", "fc2", "kernel"), (0, None)),
+    (("transformer", "k_linear", "kernel"), (None, 0)),
+    (("transformer", "k_linear", "bias"), (0,)),
+    (("transformer", "v_linear", "kernel"), (None, 0)),
+    (("transformer", "v_linear", "bias"), (0,)),
+    (("discriminator", "reduce", "kernel"), (0, None)),
+    (("discriminator", "fc1", "kernel"), (None, 0)),
+    (("discriminator", "fc1", "bias"), (0,)),
+    (("discriminator", "fc2", "kernel"), (0, None)),
+)
+
+
+def _path_names(path) -> Tuple[str, ...]:
+    """jax key-path -> plain name tuple ('transformer', 'k_linear', 'kernel')."""
+    names = []
+    for k in path:
+        if hasattr(k, "key"):
+            names.append(str(k.key))
+        elif hasattr(k, "name"):
+            names.append(str(k.name))
+        elif hasattr(k, "idx"):
+            names.append(str(k.idx))
+        else:
+            names.append(str(k))
+    return tuple(names)
+
+
+def tp_spec(path_names: Tuple[str, ...], shape, n: int, axis: str = "tp") -> P:
+    """Tensor-parallel placement for one leaf: the first ``_TP_RULES`` entry
+    whose path is a suffix of ``path_names`` decides which dim shards over
+    ``axis``; leaves with no rule — or whose target dim is not divisible by
+    the mesh-axis size ``n`` (e.g. the 180-wide skeleton fc1 on tp=8) —
+    replicate."""
+    shape = tuple(int(s) for s in shape)
+    for suffix, dims in _TP_RULES:
+        if path_names[-len(suffix):] == suffix and len(dims) == len(shape):
+            marked = [d for d, m in enumerate(dims) if m is not None]
+            if not all(shape[d] % n == 0 and shape[d] >= n for d in marked):
+                return P()
+            spec = [None] * len(shape)
+            for d in marked:
+                spec[d] = axis
+            return P(*spec)
+    return P()
+
+
+def shard_params_tp(tree, mesh: Mesh, axis: str = "tp"):
+    """Tensor-parallel (Megatron-style) placement over the ``axis`` mesh axis
+    per :func:`tp_spec` — weights STAY sharded through the compute (unlike
+    FSDP's gather-at-use), so per-device FLOPs and activation bytes for the
+    cross-transformer drop ~n-fold. Composes with dp on a 2D mesh
+    (``make_mesh_2d((dp, tp), ("dp", "tp"))``); certified equivalent to the
+    1-device step by parallel/parity.py::tp_parity_check. Beyond-reference:
+    the reference's only parallelism is DataParallel
+    (modules/ar/utils/model.py:360-369)."""
+    n = mesh.shape[axis]
+
+    def place(path, x):
+        spec = tp_spec(_path_names(path), np.shape(x), n, axis)
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, tree)

@@ -59,10 +59,15 @@ def main() -> None:
     parser.add_argument("--log-dir", default="runs/trx")
     parser.add_argument("--resume", default=None, help="checkpoint to resume (msgpack file or orbax dir)")
     parser.add_argument("--param-sharding", default="replicated",
-                        choices=["replicated", "fsdp"],
+                        choices=["replicated", "fsdp", "tp"],
                         help="fsdp = ZeRO parameter/optimizer-state sharding "
-                             "over the dp mesh (docs/SCALING.md; certified "
-                             "step-equivalent by parallel/parity.py)")
+                             "over the dp mesh; tp = Megatron-style tensor "
+                             "parallelism over a dp x tp mesh (--tp-degree). "
+                             "Both certified step-equivalent by "
+                             "parallel/parity.py (docs/SCALING.md)")
+    parser.add_argument("--tp-degree", type=int, default=2,
+                        help="tensor-parallel axis size when "
+                             "--param-sharding tp (devices split dp x tp)")
     args = parser.parse_args()
 
     from isbfsar_tpu.train.dataloader import EpisodicSampler, list_classes
@@ -78,6 +83,19 @@ def main() -> None:
     if overrides:
         cfg = dataclasses.replace(cfg, **overrides)
 
+    mesh = None
+    if args.param_sharding == "tp":
+        import jax
+
+        from isbfsar_tpu.parallel.mesh import make_mesh_2d
+
+        n = len(jax.devices())
+        tp = args.tp_degree
+        if n % tp:
+            raise SystemExit(f"--tp-degree {tp} does not divide {n} devices")
+        mesh = make_mesh_2d((n // tp, tp), ("dp", "tp"))
+        print(f"[train] tensor-parallel mesh: dp{n // tp} x tp{tp}")
+
     train_classes, val_classes, test_classes = ntu_splits(list_classes(args.data))
     print(f"[train] classes: {len(train_classes)} train / {len(val_classes)} val / "
           f"{len(test_classes)} held-out test")
@@ -90,7 +108,7 @@ def main() -> None:
     valid_sampler.all_classes = val_classes or valid_sampler.all_classes
 
     trainer = Trainer(cfg, train_sampler, valid_sampler, log_dir=args.log_dir,
-                      param_sharding=args.param_sharding)
+                      mesh=mesh, param_sharding=args.param_sharding)
     if args.resume:
         state = load_checkpoint(
             args.resume,

@@ -41,6 +41,7 @@ from isbfsar_tpu.parallel.mesh import (
     replicate,
     shard_batch,
     shard_params_fsdp,
+    shard_params_tp,
 )
 from isbfsar_tpu.utils import checkpoint as ckpt
 from isbfsar_tpu.utils.metrics import MetricsLogger, binary_prf
@@ -153,11 +154,25 @@ class Trainer:
         # drops ~n-fold while the step stays numerically equivalent
         # (parallel/parity.py fsdp_parity_check certifies it). BN stats stay
         # replicated: they are small and every device needs them per step.
-        if param_sharding not in ("replicated", "fsdp"):
+        # param_sharding="tp" is Megatron-style tensor parallelism over a
+        # dedicated "tp" mesh axis (shard_params_tp): weights stay sharded
+        # through the compute, composing with dp on a 2D mesh
+        # (tp_parity_check certifies equivalence).
+        if param_sharding not in ("replicated", "fsdp", "tp"):
             raise ValueError(f"param_sharding: {param_sharding!r} not in "
-                             f"('replicated', 'fsdp')")
+                             f"('replicated', 'fsdp', 'tp')")
+        if param_sharding == "tp" and "tp" not in self.mesh.axis_names:
+            raise ValueError(
+                f"param_sharding='tp' needs a mesh with a 'tp' axis "
+                f"(got {self.mesh.axis_names}); build one with "
+                f"make_mesh_2d((dp, tp), ('dp', 'tp'))"
+            )
         self.param_sharding = param_sharding
-        place = replicate if param_sharding == "replicated" else shard_params_fsdp
+        place = {
+            "replicated": replicate,
+            "fsdp": shard_params_fsdp,
+            "tp": shard_params_tp,
+        }[param_sharding]
         self._place = place
 
         variables = self._init_params(seed)

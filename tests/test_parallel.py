@@ -49,6 +49,61 @@ def test_fsdp_step_matches_single_device():
     assert report["sharded_elem_frac"] > 0.5
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_tp_step_matches_single_device():
+    """Tensor-parallel (Megatron-style) training over a dp4 x tp2 mesh:
+    cross-transformer weights sharded over 'tp' per mesh.py::_TP_RULES, the
+    batch over 'dp' — the composed step must equal the 1-device replicated
+    step (measured 6e-8), with >50% of parameter elements PROVEN split
+    (measured 99.9%)."""
+    from isbfsar_tpu.parallel.parity import tp_parity_check
+
+    report = tp_parity_check(8)
+    assert report["max_param_diff"] <= 5e-5
+    assert report["mesh"] == "dp4xtp2"
+    assert report["sharded_elem_frac"] > 0.5
+
+
+def test_tp_spec_rule():
+    """Path-suffix placement logic: rules match the params tree AND the
+    optimizer state's accumulators (same trailing path under the MultiSteps
+    prefix); indivisible target dims fall back to replicated. Pure logic —
+    needs no devices."""
+    from jax.sharding import PartitionSpec as P
+
+    from isbfsar_tpu.parallel.mesh import tp_spec
+
+    # column-parallel kernel + its bias
+    assert tp_spec(("transformer", "k_linear", "kernel"), (512, 128), 2) == P(None, "tp")
+    assert tp_spec(("transformer", "k_linear", "bias"), (128,), 2) == P("tp")
+    # row-parallel pair partner
+    assert tp_spec(("sk_extractor", "fc2", "kernel"), (180, 256), 2) == P("tp", None)
+    # optimizer-state accumulator: same suffix under the MultiSteps prefix
+    assert tp_spec(
+        ("acc_grads", "sk_extractor", "fc2", "kernel"), (180, 256), 2
+    ) == P("tp", None)
+    # indivisible target dim (180 % 8 != 0) -> replicated, not an error
+    assert tp_spec(("sk_extractor", "fc2", "kernel"), (180, 256), 8) == P()
+    # unmatched paths (LayerNorm, ResNet trunk, schedule counters) replicate
+    assert tp_spec(("transformer", "norm_k", "scale"), (512,), 2) == P()
+    assert tp_spec(("count",), (), 2) == P()
+
+
+def test_trainer_rejects_tp_without_tp_axis():
+    """param_sharding='tp' on a mesh lacking a 'tp' axis must fail loudly at
+    construction, not silently replicate."""
+    import dataclasses
+
+    from isbfsar_tpu.configs import ARConfig
+    from isbfsar_tpu.parallel.mesh import make_mesh
+    from isbfsar_tpu.train.trainer import Trainer
+
+    cfg = dataclasses.replace(ARConfig.for_input("skeleton"), batch_size=1, n_task=1)
+    with pytest.raises(ValueError, match="tp"):
+        Trainer(cfg, mesh=make_mesh(1), log_dir="/tmp/isbfsar_dryrun",
+                use_wandb=False, param_sharding="tp")
+
+
 def test_fsdp_spec_rule():
     """The placement rule itself: largest n-divisible dim sharded, small or
     indivisible leaves replicated. Pure shape logic — needs no devices."""
