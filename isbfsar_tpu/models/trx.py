@@ -212,7 +212,16 @@ class TRXOS(nn.Module):
         query_features = self.extract_features(query_data, train=train)  # (b, L, D)
         if support_features is None:
             support_features = self.extract_features(support_data, train=train)
+        return self.match_with_features(query_features, support_mask, support_features)
 
+    def match_with_features(self, query_features, support_mask, support_features):
+        """The post-extraction half of ``__call__``: transformer match +
+        open-set decision on pre-embedded query (b, L, D) and support
+        (b, way, L, D) features. Split out so callers that must control the
+        extractor applies themselves — the sequence-parallel trainer hoists
+        support extraction onto a way-minor (b, L, way, ...) layout to keep the frame
+        flatten shardable (train/trainer.py) — share one decision path with
+        ``__call__``."""
         out = self.transformer(support_features, support_mask, query_features)
         logits = out["logits"]
 

@@ -89,6 +89,47 @@ def shard_params_fsdp(tree, mesh: Mesh, axis: str = "dp", min_size: int = 4096):
     return jax.tree.map(place, tree)
 
 
+# ------------------------------------------------------------ sequence par
+
+
+def sp_batch_spec(key: str, ndim: int, dp_axis: str = "dp",
+                  seq_axis: str = "sp") -> P:
+    """Sequence-parallel placement for one episodic-batch leaf: the clip
+    TIME axis shards over ``seq_axis`` on top of the usual leading-axis dp —
+    support clips are (b, way, L, ...), query/unknown clips (b, L, ...),
+    labels (b, ...). Keyed by the batch's top-level name because the time
+    axis sits at a different rank under each."""
+    if key == "support_set":
+        dims = [dp_axis, None, seq_axis]
+    elif key in ("target_set", "unknown_set"):
+        dims = [dp_axis, seq_axis]
+    else:
+        dims = [dp_axis]
+    dims = dims[:ndim] + [None] * (ndim - len(dims))
+    return P(*dims)
+
+
+def shard_batch_sp(batch, mesh: Mesh, dp_axis: str = "dp", seq_axis: str = "sp"):
+    """Episodic-batch placement with the clip TIME axis additionally sharded
+    over ``seq_axis`` (sequence parallelism): for a FIXED batch the rgb
+    extractor's per-device conv FLOPs and activation bytes drop
+    ~seq-axis-fold (each device embeds only its L/n slice of every clip's
+    frames), and BatchNorm's batch-statistics reductions psum over BOTH
+    axes — so the stats remain exactly the full-batch statistics
+    (parity-certified by parallel/parity.py::sp_parity_check). XLA's SPMD
+    partitioner derives every collective from these input placements —
+    no model changes needed. Beyond-reference: the reference's only
+    parallelism is DataParallel (modules/ar/utils/model.py:360-369)."""
+    out = {}
+    for key, sub in batch.items():
+        def place(x, key=key):
+            spec = sp_batch_spec(key, np.ndim(x), dp_axis, seq_axis)
+            return jax.device_put(x, NamedSharding(mesh, spec))
+
+        out[key] = jax.tree.map(place, sub)
+    return out
+
+
 # --------------------------------------------------------------- tensor par
 
 # Megatron-style tensor-parallel placement for the TRX-OS parameter tree,

@@ -33,11 +33,13 @@ def _max_diff(a, b) -> float:
 
 
 def _one_step_params(cfg, mesh, batch, seed: int = 0,
-                     param_sharding: str = "replicated"):
+                     param_sharding: str = "replicated",
+                     seq_axis=None):
     from isbfsar_tpu.train.trainer import Trainer
 
     trainer = Trainer(cfg, mesh=mesh, log_dir="/tmp/isbfsar_dryrun",
-                      use_wandb=False, seed=seed, param_sharding=param_sharding)
+                      use_wandb=False, seed=seed, param_sharding=param_sharding,
+                      seq_axis=seq_axis)
     init = jax.tree.map(np.asarray, trainer.params)
     init_stats = jax.tree.map(np.asarray, trainer.batch_stats)
     summary = trainer.run_epoch(0, [batch], train=True)
@@ -309,6 +311,121 @@ def tp_parity_check(n_devices: int, atol: float = 5e-5) -> Dict[str, float]:
             f"tp parity violated: {name}={report[name]:.3e} > {atol:.1e} "
             f"(1-device replicated vs dp{dp}xtp{tp})\n"
             f"1-dev metrics: {m1}\ntp metrics: {mn}"
+        )
+    return report
+
+
+def sp_parity_check(n_devices: int,
+                    param_sharding: str = "replicated") -> Dict[str, float]:
+    """Assert the sequence-parallel training step over a 2D dp x sp mesh is
+    numerically the SAME step as the DEFAULT 1-device replicated trainer.
+
+    ``param_sharding="fsdp"`` certifies the documented sp+ZeRO COMPOSITION
+    (params/opt-state split over 'dp' while batches shard over dp x sp) —
+    still against the plain 1-device replicated baseline.
+
+    The n-device run shards every clip's TIME axis over ``sp`` on top of
+    the usual dp batch sharding (Trainer ``seq_axis="sp"`` ->
+    parallel/mesh.py shard_batch_sp): each device embeds only its L/sp
+    slice of every frame sequence, so the rgb extractor's per-device conv
+    FLOPs drop ~sp-fold for a FIXED batch — the within-sample lever when
+    dp is already one-episode-per-device. BatchNorm's batch statistics
+    psum over dp AND sp, staying exactly the full-batch statistics.
+    Beyond the reference (DataParallel only, modules/ar/utils/model.py:
+    360-369).
+
+    Baseline is the DEFAULT trainer (``seq_axis=None``) on 1 device — the
+    certificate covers the hoisted support-extraction forward itself
+    (train/trainer.py::_sp_forward), not just the mesh: same extractor
+    order (query, then support), same BN trajectory, same loss.
+
+    Tolerance: rgb modality (the one sp is FOR) uses the scale-aware
+    BN bounds — see the tolerance-design note on dp_parity_check.
+
+    Non-vacuity: a Flax method interceptor records the sharding XLA chose
+    for every RGBExtractor output in the compiled n-device step
+    (jax.debug.inspect_array_sharding); the check asserts all three
+    extractor applies (query, support, unknown) genuinely computed on
+    ``sp``-sharded frame batches — a silent all-gather-then-replicate
+    plan (which the naive (b, way, L) flatten produces!) cannot pass.
+    """
+    import flax.linen as nn
+
+    from isbfsar_tpu.configs import ARConfig
+    from isbfsar_tpu.models.trx import RGBExtractor
+    from isbfsar_tpu.parallel.mesh import make_mesh, make_mesh_2d
+
+    sp = 2 if n_devices >= 2 else 1
+    dp = max(1, n_devices // sp)
+    cfg = dataclasses.replace(
+        ARConfig.for_input("rgb"),
+        batch_size=dp,
+        n_task=dp,
+        eval_every_n_epoch=10_000,
+        rgb_size=32,
+    )
+    batch = _episodic_batch(cfg, dp, rgb_size=32, modality="rgb")
+
+    p1, s1, m1, (p_init, _), _ = _one_step_params(cfg, make_mesh(1), batch)
+
+    captured = []
+
+    def interceptor(next_fn, args, kwargs, context):
+        out = next_fn(*args, **kwargs)
+        if (isinstance(context.module, RGBExtractor)
+                and context.method_name == "__call__"
+                and bool(kwargs.get("train", False))):
+            jax.debug.inspect_array_sharding(out, callback=captured.append)
+        return out
+
+    mesh = make_mesh_2d((dp, sp), ("dp", "sp"))
+    with nn.intercept_methods(interceptor):
+        pn, sn, mn, _, _ = _one_step_params(
+            cfg, mesh, batch, seq_axis="sp", param_sharding=param_sharding
+        )
+
+    def has_sp(sharding):
+        spec = getattr(sharding, "spec", ())
+        for part in spec:
+            parts = part if isinstance(part, (tuple, list)) else (part,)
+            if "sp" in parts:
+                return True
+        return False
+
+    sp_sharded = sum(map(has_sp, captured))
+    assert len(captured) >= 3 and sp_sharded == len(captured), (
+        f"sp parity ran without real sequence sharding: of {len(captured)} "
+        f"extractor applies only {sp_sharded} computed on sp-sharded frames "
+        f"({[str(getattr(s, 'spec', s)) for s in captured]}) — the "
+        f"certificate would be vacuous"
+    )
+
+    def l2(tree):
+        return float(np.sqrt(sum(
+            float((np.asarray(x) ** 2).sum()) for x in jax.tree.leaves(tree)
+        )))
+
+    diff_tree = jax.tree.map(lambda a, b: np.asarray(a) - np.asarray(b), p1, pn)
+    update_tree = jax.tree.map(lambda a, b: np.asarray(a) - np.asarray(b), p1, p_init)
+    report = {
+        "max_param_diff": _max_diff(p1, pn),
+        "param_rel_diff": l2(diff_tree) / max(l2(update_tree), 1e-12),
+        "max_stats_diff": _max_diff(s1, sn),
+        "max_metric_diff": max(
+            abs(float(m1[k]) - float(mn[k])) for k in m1 if k in mn
+        ),
+        "mesh": f"dp{dp}xsp{sp}",
+        "param_sharding": param_sharding,
+        "extractor_applies_sp_sharded": f"{sp_sharded}/{len(captured)}",
+    }
+    # scale-aware BN bounds — same design as dp_parity_check(modality="rgb")
+    bounds = {"param_rel_diff": 0.10, "max_stats_diff": 1e-3,
+              "max_metric_diff": 0.05}
+    for name, bound in bounds.items():
+        assert report[name] <= bound, (
+            f"sp parity violated: {name}={report[name]:.3e} > {bound:.1e} "
+            f"(1-device default vs dp{dp}xsp{sp} sequence-parallel)\n"
+            f"1-dev metrics: {m1}\nsp metrics: {mn}"
         )
     return report
 

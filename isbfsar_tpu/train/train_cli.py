@@ -68,6 +68,14 @@ def main() -> None:
     parser.add_argument("--tp-degree", type=int, default=2,
                         help="tensor-parallel axis size when "
                              "--param-sharding tp (devices split dp x tp)")
+    parser.add_argument("--sp-degree", type=int, default=0,
+                        help="sequence-parallel axis size: shard every "
+                             "clip's TIME axis over a dp x sp mesh so each "
+                             "device embeds only L/sp frames per clip (the "
+                             "within-sample lever for rgb/hybrid once dp is "
+                             "one-episode-per-device; certified "
+                             "step-equivalent by parallel/parity.py::"
+                             "sp_parity_check). Composes with fsdp, not tp.")
     args = parser.parse_args()
 
     from isbfsar_tpu.train.dataloader import EpisodicSampler, list_classes
@@ -84,17 +92,36 @@ def main() -> None:
         cfg = dataclasses.replace(cfg, **overrides)
 
     mesh = None
+    seq_axis = None
     if args.param_sharding == "tp":
         import jax
 
         from isbfsar_tpu.parallel.mesh import make_mesh_2d
 
+        if args.sp_degree:
+            raise SystemExit("--sp-degree composes with replicated/fsdp "
+                             "param sharding, not tp (would need a 3D mesh)")
         n = len(jax.devices())
         tp = args.tp_degree
         if n % tp:
             raise SystemExit(f"--tp-degree {tp} does not divide {n} devices")
         mesh = make_mesh_2d((n // tp, tp), ("dp", "tp"))
         print(f"[train] tensor-parallel mesh: dp{n // tp} x tp{tp}")
+    elif args.sp_degree:
+        import jax
+
+        from isbfsar_tpu.parallel.mesh import make_mesh_2d
+
+        n = len(jax.devices())
+        sp = args.sp_degree
+        if n % sp:
+            raise SystemExit(f"--sp-degree {sp} does not divide {n} devices")
+        if cfg.seq_len % sp:
+            raise SystemExit(f"--sp-degree {sp} does not divide "
+                             f"seq_len={cfg.seq_len}")
+        mesh = make_mesh_2d((n // sp, sp), ("dp", "sp"))
+        seq_axis = "sp"
+        print(f"[train] sequence-parallel mesh: dp{n // sp} x sp{sp}")
 
     train_classes, val_classes, test_classes = ntu_splits(list_classes(args.data))
     print(f"[train] classes: {len(train_classes)} train / {len(val_classes)} val / "
@@ -108,7 +135,8 @@ def main() -> None:
     valid_sampler.all_classes = val_classes or valid_sampler.all_classes
 
     trainer = Trainer(cfg, train_sampler, valid_sampler, log_dir=args.log_dir,
-                      mesh=mesh, param_sharding=args.param_sharding)
+                      mesh=mesh, param_sharding=args.param_sharding,
+                      seq_axis=seq_axis)
     if args.resume:
         state = load_checkpoint(
             args.resume,

@@ -40,6 +40,7 @@ from isbfsar_tpu.parallel.mesh import (
     make_mesh,
     replicate,
     shard_batch,
+    shard_batch_sp,
     shard_params_fsdp,
     shard_params_tp,
 )
@@ -54,7 +55,115 @@ def _bce(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     return -(target * jnp.log(pred) + (1.0 - target) * jnp.log(1.0 - pred))
 
 
-def make_loss_fn(model: TRXOS, cfg: ARConfig):
+def _sp_extract(model, mesh, seq_axis, params, stats, data, has_bn, train):
+    """One extractor apply with the clip TIME axis pinned to ``seq_axis``
+    on BOTH sides (input leaves and the feature output). Explicit pins —
+    not just sharded inputs — are required: under parameter sharding
+    (fsdp) GSPMD's propagation prefers a dp-only activation layout and
+    silently all-gathers L before the convs (measured: with replicated
+    params only the support apply needed pins; with fsdp the query and
+    unknown applies lost 'sp' too — sp_parity_check's interceptor catches
+    both). Leading data dims pin P('dp', sp); trailing dims (frame dims,
+    or the way-minor support layout's way axis) stay unsharded."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if mesh is not None:
+        sh = NamedSharding(mesh, P("dp", seq_axis))
+        data = jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(x, sh), data
+        )
+    variables = {"params": params}
+    if has_bn:
+        variables["batch_stats"] = stats
+    if has_bn and train:
+        feats, mut = model.apply(
+            variables, data, train=True, mutable=["batch_stats"],
+            method=TRXOS.extract_features,
+        )
+        new_stats = mut["batch_stats"]
+    else:
+        feats = model.apply(
+            variables, data, train=train, method=TRXOS.extract_features
+        )
+        new_stats = stats
+    if mesh is not None:
+        # pin the output side too: the transformer downstream contracts
+        # over L, so GSPMD's backward propagation could otherwise pull
+        # the L all-gather in front of the convs
+        out_spec = P("dp", seq_axis, *([None] * (feats.ndim - 2)))
+        feats = jax.lax.with_sharding_constraint(
+            feats, NamedSharding(mesh, out_spec)
+        )
+    return feats, new_stats
+
+
+def _sp_forward(model, cfg, mesh, seq_axis, params, batch_stats, batch, mask,
+                has_bn, train):
+    """Sequence-parallel known-episode forward: extract query, then support
+    on a way-minor (b, L, way, ...) layout (constrained P('dp', sp) so the
+    extractor's frame flatten stays sharded over BOTH axes — see the
+    representability note inline), then match via ``match_with_features``.
+    Same extractor-apply ORDER as ``__call__`` (query, support), so the BN
+    running-stats trajectory is identical to the default path's single
+    apply."""
+    q_feats, stats1 = _sp_extract(
+        model, mesh, seq_axis, params, batch_stats, batch["target_set"],
+        has_bn, train,
+    )
+
+    # Way-MINOR support layout: (b, way, L, ...) -> (b, L, way, ...).
+    # The extractor's frame flatten merges its leading axes into the conv
+    # batch dim, and a flatten preserves a multi-axis sharding only when
+    # each device's element set stays CONTIGUOUS under the merge: scanning
+    # from the major end, every sharded axis before the LAST sharded one
+    # must have per-shard block 1, and everything after the last sharded
+    # axis must be unsharded. The natural (b, way, L) puts unsharded way
+    # BETWEEN the sharded axes — unrepresentable, so GSPMD silently
+    # all-gathers L (measured: the support extractor ran dp-only). A
+    # time-major (L, b*way) hoist has L-block L/sp > 1 before the
+    # dp-sharded axis — also unrepresentable, and worse: GSPMD kept 'sp'
+    # but DROPPED 'dp', convolving every support frame dp-fold redundantly
+    # (measured via compiled HLO: per-device conv batch 80 of 160 global
+    # on dp4xsp2, 1.56x the dp-only per-device FLOPs).
+    # (b:'dp' block-1, L:'sp', way unsharded-minor) satisfies the rule:
+    # the merge carries P(('dp','sp')) and each device convolves exactly
+    # (L/sp)*way of its own episodes' frames
+    # (tests/test_parallel.py::test_sp_cuts_per_device_flops pins the
+    # per-device FLOPs cut with the compiler's own cost model).
+    # Numerically this is only a batch reordering: convs are per-sample
+    # and BN batch statistics are order-invariant sums
+    # (reassociation-level float noise only).
+    sup = jax.tree.map(
+        lambda x: jnp.swapaxes(x, 1, 2), batch["support_set"]
+    )
+    s_swapped, stats2 = _sp_extract(
+        model, mesh, seq_axis, params, stats1, sup, has_bn, train,
+    )  # (b, L, way, D)
+    s_feats = jnp.swapaxes(s_swapped, 1, 2)  # (b, way, L, D)
+
+    variables = {"params": params}
+    if has_bn:
+        variables["batch_stats"] = stats2
+    out = model.apply(
+        variables, q_feats, mask, s_feats, method=TRXOS.match_with_features
+    )
+    return out, stats2
+
+
+def make_loss_fn(model: TRXOS, cfg: ARConfig, mesh=None, seq_axis: Optional[str] = None):
+    """``seq_axis`` (with its ``mesh``) turns on the sequence-parallel
+    forward: support-set extraction is hoisted onto a way-minor
+    (b, L, way, ...) layout so the extractor's frame flatten merges
+    (dp, sp)-contiguously — the natural (b, way, L) flatten cannot
+    carry an L-axis sharding past the unsharded way axis, and XLA silently
+    all-gathers the support clips (measured: the support extractor ran
+    dp-only; see the representability note in ``_sp_forward``). The BN
+    update order of the default path (query extraction, then support) is
+    preserved, so the hoisted step is numerically the SAME step
+    (parallel/parity.py::sp_parity_check certifies it against the default
+    1-device trainer)."""
+    sp_hoist = seq_axis is not None and cfg.input_type in ("rgb", "hybrid")
+
     def loss_fn(params, batch_stats, batch, disc_on: bool, train: bool = True):
         """params/batch_stats are separate so gradients flow only through
         params; BN running stats (rgb/hybrid modes) update functionally and
@@ -75,7 +184,15 @@ def make_loss_fn(model: TRXOS, cfg: ARConfig):
                 return out, mut["batch_stats"]
             return model.apply(variables, query, mask, **kw), batch_stats
 
-        out, new_stats = apply(batch["target_set"], support_data=batch["support_set"])
+        if sp_hoist:
+            out, new_stats = _sp_forward(
+                model, cfg, mesh, seq_axis, params, batch_stats, batch, mask,
+                has_bn, train,
+            )
+        else:
+            out, new_stats = apply(
+                batch["target_set"], support_data=batch["support_set"]
+            )
         logits = out["logits"]
         target = (batch["support_classes"] == batch["target_class"][:, None]).astype(jnp.float32)
 
@@ -97,9 +214,27 @@ def make_loss_fn(model: TRXOS, cfg: ARConfig):
             known_pred = out["is_true"][:, 0]
             known_os = jnp.sum(_bce(known_pred, jnp.ones_like(known_pred)) * w) / n
 
-            out_u, _ = apply(
-                batch["unknown_set"], support_features=out["support_features"]
-            )
+            if sp_hoist:
+                # same semantics as the default apply below (extract the
+                # unknown clips with the PRE-step batch_stats, discard the
+                # mutated stats, match against the cached support
+                # features), but with the TIME axis pinned — under fsdp,
+                # propagation alone loses 'sp' here (see _sp_extract)
+                u_feats, _ = _sp_extract(
+                    model, mesh, seq_axis, params, batch_stats,
+                    batch["unknown_set"], has_bn, train,
+                )
+                variables_u = {"params": params}
+                if has_bn:
+                    variables_u["batch_stats"] = batch_stats
+                out_u = model.apply(
+                    variables_u, u_feats, mask, out["support_features"],
+                    method=TRXOS.match_with_features,
+                )
+            else:
+                out_u, _ = apply(
+                    batch["unknown_set"], support_features=out["support_features"]
+                )
             unk_pred = out_u["is_true"][:, 0]
             unknown_os = jnp.sum(_bce(unk_pred, jnp.zeros_like(unk_pred)) * w) / n
 
@@ -140,6 +275,7 @@ class Trainer:
         seed: int = 0,
         use_wandb: bool = True,
         param_sharding: str = "replicated",
+        seq_axis: Optional[str] = None,
     ):
         self.cfg = config
         self.model = TRXOS(config)
@@ -167,6 +303,26 @@ class Trainer:
                 f"(got {self.mesh.axis_names}); build one with "
                 f"make_mesh_2d((dp, tp), ('dp', 'tp'))"
             )
+        # seq_axis="sp" additionally shards the clip TIME axis over a
+        # dedicated mesh axis (sequence parallelism; shard_batch_sp):
+        # per-device extractor FLOPs drop ~sp-fold for a FIXED batch, BN
+        # statistics psum over dp AND sp so they stay exactly the full-batch
+        # stats (sp_parity_check certifies equivalence). Composes with any
+        # param_sharding (params are placed by mesh-axis NAME, batches by
+        # their own specs).
+        if seq_axis is not None:
+            if seq_axis not in self.mesh.axis_names:
+                raise ValueError(
+                    f"seq_axis={seq_axis!r} not in mesh axes "
+                    f"{self.mesh.axis_names}; build one with "
+                    f"make_mesh_2d((dp, sp), ('dp', 'sp'))"
+                )
+            if config.seq_len % self.mesh.shape[seq_axis]:
+                raise ValueError(
+                    f"seq_len={config.seq_len} not divisible by the "
+                    f"{seq_axis!r} mesh axis ({self.mesh.shape[seq_axis]})"
+                )
+        self.seq_axis = seq_axis
         self.param_sharding = param_sharding
         place = {
             "replicated": replicate,
@@ -193,7 +349,8 @@ class Trainer:
         )
         self.opt_state = place(self.optimizer.init(self.params), self.mesh)
 
-        loss_fn = make_loss_fn(self.model, config)
+        loss_fn = make_loss_fn(self.model, config, mesh=self.mesh,
+                               seq_axis=seq_axis)
 
         def train_step(params, batch_stats, opt_state, batch, disc_on):
             (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -280,6 +437,8 @@ class Trainer:
             "support_classes": np.asarray(batch["support_classes"], np.int32),
             "target_class": np.asarray(batch["target_class"], np.int32),
         }
+        if self.seq_axis is not None:
+            return shard_batch_sp(keep, self.mesh, seq_axis=self.seq_axis)
         return shard_batch(keep, self.mesh)
 
     def load_state(self, state: Dict) -> None:
