@@ -132,6 +132,15 @@ class ARConfig:
 
     compute_dtype: str = "float32"  # the TRX is tiny; f32 keeps parity tight
 
+    # Rematerialize the rgb extractor's activations in the backward pass,
+    # PER residual block (nn.remat in models/resnet.py — block granularity
+    # is what makes it a win, see the note there): the ResNet-50 conv
+    # activations over b*way*L frames are the training step's dominant
+    # memory term, so trading ~1/3 extra extractor FLOPs cuts peak HBM
+    # (receipt: tests/test_train.py::test_remat_cuts_train_step_memory,
+    # compiled memory_analysis). Numerically identical math, recomputed.
+    remat: bool = False
+
     @property
     def trans_linear_in_dim(self) -> int:
         # reference utils/params.py:79

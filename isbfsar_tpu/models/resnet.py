@@ -83,6 +83,16 @@ class ResNet(nn.Module):
     width: int = 64
     dtype: Any = jnp.bfloat16
     enable_cam: bool = False  # sow + perturb the last stage for GRAD-CAM
+    # Rematerialize PER RESIDUAL BLOCK (nn.remat around each block): the
+    # backward pass then recomputes one block's activations at a time from
+    # the stored block boundaries instead of keeping every conv activation
+    # live. Granularity matters — checkpointing the WHOLE network cuts
+    # nothing, because its backward recomputes and holds all activations
+    # at once (measured: 367 MB vs 352 MB temp on the TRX train step);
+    # per-block remat is what turns the recompute into a peak-memory win
+    # (receipt: tests/test_train.py::test_remat_cuts_train_step_memory).
+    # Parameter tree is unchanged (the lifted transform keeps block names).
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -97,10 +107,11 @@ class ResNet(nn.Module):
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
+        block_cls = nn.remat(self.block) if self.remat else self.block
         for i, n_blocks in enumerate(self.stage_sizes):
             for j in range(n_blocks):
                 strides = (2, 2) if i > 0 and j == 0 else (1, 1)
-                x = self.block(
+                x = block_cls(
                     filters=self.width * 2**i,
                     strides=strides,
                     conv=conv,
@@ -127,5 +138,6 @@ def resnet18(num_classes: int = 0, dtype=jnp.bfloat16) -> ResNet:
     return ResNet(stage_sizes=(2, 2, 2, 2), block=BasicBlock, num_classes=num_classes, dtype=dtype)
 
 
-def resnet50(num_classes: int = 0, dtype=jnp.bfloat16) -> ResNet:
-    return ResNet(stage_sizes=(3, 4, 6, 3), block=Bottleneck, num_classes=num_classes, dtype=dtype)
+def resnet50(num_classes: int = 0, dtype=jnp.bfloat16, remat: bool = False) -> ResNet:
+    return ResNet(stage_sizes=(3, 4, 6, 3), block=Bottleneck, num_classes=num_classes, dtype=dtype,
+                  remat=remat)

@@ -68,13 +68,17 @@ class SkeletonMLP(nn.Module):
 
 
 class RGBExtractor(nn.Module):
-    """ResNet-50 pooled features -> ReLU -> Dense(256) (reference model.py:207-216)."""
+    """ResNet-50 pooled features -> ReLU -> Dense(256) (reference model.py:207-216).
+
+    ``remat`` rematerializes per residual block (see models/resnet.py) —
+    the training-memory lever for the b*way*L-frame extraction batches."""
 
     dtype: Any = jnp.bfloat16
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        feats = resnet50(dtype=self.dtype)(x, train=train)  # (n, 2048)
+        feats = resnet50(dtype=self.dtype, remat=self.remat)(x, train=train)  # (n, 2048)
         return nn.Dense(256, name="post", precision=_HI)(nn.relu(feats))
 
 
@@ -167,7 +171,9 @@ class TRXOS(nn.Module):
         if cfg.input_type in ("skeleton", "hybrid"):
             self.sk_extractor = SkeletonMLP(cfg.n_joints * 3 * 2, 256)
         if cfg.input_type in ("rgb", "hybrid"):
-            self.rgb_extractor = RGBExtractor(dtype=jnp.dtype(cfg.compute_dtype))
+            self.rgb_extractor = RGBExtractor(
+                dtype=jnp.dtype(cfg.compute_dtype), remat=cfg.remat
+            )
         self.transformer = TemporalCrossTransformer(
             seq_len=cfg.seq_len,
             in_dim=cfg.trans_linear_in_dim,

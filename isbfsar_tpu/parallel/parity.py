@@ -374,7 +374,8 @@ def sp_parity_check(n_devices: int,
         out = next_fn(*args, **kwargs)
         if (isinstance(context.module, RGBExtractor)
                 and context.method_name == "__call__"
-                and bool(kwargs.get("train", False))):
+                and bool(kwargs.get("train",
+                                    len(args) > 1 and bool(args[1])))):
             jax.debug.inspect_array_sharding(out, callback=captured.append)
         return out
 

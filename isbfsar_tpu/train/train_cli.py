@@ -68,6 +68,12 @@ def main() -> None:
     parser.add_argument("--tp-degree", type=int, default=2,
                         help="tensor-parallel axis size when "
                              "--param-sharding tp (devices split dp x tp)")
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialize rgb-extractor activations in "
+                             "the backward pass (jax.checkpoint): multi-x "
+                             "peak-memory cut for ~1/3 extra extractor "
+                             "FLOPs — the lever for bigger batches or "
+                             "backbones on a fixed HBM budget")
     parser.add_argument("--sp-degree", type=int, default=0,
                         help="sequence-parallel axis size: shard every "
                              "clip's TIME axis over a dp x sp mesh so each "
@@ -88,6 +94,8 @@ def main() -> None:
         overrides["batch_size"] = args.batch_size
     if args.n_task:
         overrides["n_task"] = args.n_task
+    if args.remat:
+        overrides["remat"] = True
     if overrides:
         cfg = dataclasses.replace(cfg, **overrides)
 

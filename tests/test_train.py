@@ -390,6 +390,77 @@ class TestRGBTrainer:
         assert max(changed) > 0.0  # BN running stats moved
 
 
+class TestRemat:
+    def test_remat_cuts_train_step_memory(self, rng, tmp_path):
+        """ARConfig.remat rematerializes the rgb extractor PER residual
+        block: the bytes jax saves for the backward pass (saved_residuals
+        — the quantity remat controls, and the activation term of peak HBM
+        on TPU) must drop by >=40%, and the rematerialized step must
+        compute the SAME update (identical math, recomputed).
+
+        Why not compiled memory_analysis: XLA:CPU's buffer assignment
+        never realizes remat savings (measured: temp_size went UP even for
+        a canonical 20-layer chunked-checkpoint chain), so the residual
+        census is the backend-independent receipt."""
+        import jax
+
+        from isbfsar_tpu.parallel.mesh import make_mesh
+        from isbfsar_tpu.train.trainer import make_loss_fn
+
+        cfg = dataclasses.replace(
+            ARConfig.for_input("rgb"),
+            rgb_size=32,
+            n_task=2,
+            batch_size=2,
+            eval_every_n_epoch=1000,
+        )
+        b, way, L, s = 2, cfg.way, cfg.seq_len, cfg.rgb_size
+        batch = {
+            "support_set": {"rgb": rng.normal(size=(b, way, L, s, s, 3)).astype(np.float32)},
+            "target_set": {"rgb": rng.normal(size=(b, L, s, s, 3)).astype(np.float32)},
+            "unknown_set": {"rgb": rng.normal(size=(b, L, s, s, 3)).astype(np.float32)},
+            "support_classes": np.tile(np.arange(way, dtype=np.int32), (b, 1)),
+            "target_class": np.zeros((b,), np.int32),
+            "known": np.ones((b,), bool),
+        }
+
+        try:  # jax keeps the list variant private; print_ is the public API
+            from jax._src.ad_checkpoint import saved_residuals
+        except ImportError:
+            pytest.skip("saved_residuals API not available in this jax")
+
+        def step(remat: bool):
+            trainer = Trainer(
+                dataclasses.replace(cfg, remat=remat), mesh=make_mesh(1),
+                log_dir=str(tmp_path / f"remat{remat}"), use_wandb=False,
+                seed=0,
+            )
+            loss_fn = make_loss_fn(trainer.model, trainer.cfg)
+            p0 = jax.tree.map(np.asarray, trainer.params)
+            s0 = jax.tree.map(np.asarray, trainer.batch_stats)
+            res = saved_residuals(
+                lambda p: loss_fn(p, s0, batch, disc_on=True, train=True)[0],
+                p0,
+            )
+            saved = sum(int(np.prod(aval.shape)) * aval.dtype.itemsize
+                        for aval, _ in res)
+            trainer.run_epoch(0, [batch], train=True)
+            return saved, jax.tree.map(np.asarray, trainer.params)
+
+        saved_off, params_off = step(False)
+        saved_on, params_on = step(True)
+        # measured: 483.8 MB -> 177.7 MB (63% cut) at these shapes
+        assert saved_on < 0.6 * saved_off, (
+            f"remat did not cut the saved-for-backward bytes: "
+            f"{saved_on/2**20:.1f} MB vs {saved_off/2**20:.1f} MB"
+        )
+        # same params after one step (recompute-only difference)
+        diffs = jax.tree.leaves(jax.tree.map(
+            lambda a, c: float(np.abs(a - c).max()), params_off, params_on
+        ))
+        assert max(diffs) <= 5e-4, f"remat changed the step: {max(diffs):.2e}"
+
+
 class TestOrderedImport:
     def test_yolov4_roundtrip(self, rng):
         """Synthesize a torch-ordered state dict FROM our YOLOv4 tree (inverse
