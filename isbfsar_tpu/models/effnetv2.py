@@ -133,6 +133,9 @@ class EfficientNetV2(nn.Module):
     stem_filters: int = 32
     head_filters: int = 1280
     dtype: Any = jnp.bfloat16
+    # Rematerialize per MBConv block (training-memory lever; granularity
+    # rationale in models/resnet.py). Parameter tree unchanged.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -144,13 +147,18 @@ class EfficientNetV2(nn.Module):
                     dtype=self.dtype, name="stem_conv")(x)
         x = nn.silu(norm("stem_bn")(x))
 
+        # train is passed POSITIONALLY: jax.checkpoint's static_argnums
+        # covers positional args only, and the BN mode switch must stay
+        # static (index 2 = [module, x, train])
+        block_cls = (nn.remat(MBConv, static_argnums=(2,))
+                     if self.remat else MBConv)
         for si, spec in enumerate(self.stages):
             for bi in range(spec.blocks):
                 stride = spec.stride if bi == 0 else 1
-                x = MBConv(
+                x = block_cls(
                     spec=spec, out_filters=spec.filters, stride=stride, dtype=self.dtype,
                     name=f"stage{si}_block{bi}",
-                )(x, train=train)
+                )(x, train)
 
         x = nn.Conv(self.head_filters, (1, 1), use_bias=False, dtype=self.dtype, name="head_conv")(x)
         x = nn.silu(norm("head_bn")(x))

@@ -106,18 +106,28 @@ def _scaled(n: int, width: float) -> int:
 class CSPDarknet53(nn.Module):
     dtype: Any = jnp.bfloat16
     width: float = 1.0
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         c = lambda n: _scaled(n, self.width)
         deep = 1.0 if self.width == 1.0 else 0.25
         blocks = lambda n: max(1, int(round(n * deep)))
+        # remat granularity: the whole CSP STAGE, not the ResBlocks — the
+        # stage in/outputs are saved anyway (the neck consumes d3/d4/d5),
+        # and per-ResBlock remat leaves the down/route/trunk/merge
+        # ConvBlock activations stored, which dominate at slim widths
+        # (measured: per-ResBlock cut only 12% of saved bytes). train is
+        # positional for static_argnums (see models/resnet.py).
+        stage_cls = (nn.remat(CSPStage, static_argnums=(2,))
+                     if self.remat else CSPStage)
+        stage = lambda *a, **kw: stage_cls(*a, dtype=self.dtype, **kw)
         x = ConvBlock(c(32), 3, dtype=self.dtype, name="stem")(x, train)
-        x = CSPStage(c(64), 1, first=True, dtype=self.dtype, name="stage1")(x, train)
-        x = CSPStage(c(128), blocks(2), dtype=self.dtype, name="stage2")(x, train)
-        d3 = CSPStage(c(256), blocks(8), dtype=self.dtype, name="stage3")(x, train)
-        d4 = CSPStage(c(512), blocks(8), dtype=self.dtype, name="stage4")(d3, train)
-        d5 = CSPStage(c(1024), blocks(4), dtype=self.dtype, name="stage5")(d4, train)
+        x = stage(c(64), 1, first=True, name="stage1")(x, train)
+        x = stage(c(128), blocks(2), name="stage2")(x, train)
+        d3 = stage(c(256), blocks(8), name="stage3")(x, train)
+        d4 = stage(c(512), blocks(8), name="stage4")(d3, train)
+        d5 = stage(c(1024), blocks(4), name="stage5")(d4, train)
         return d3, d4, d5
 
 
@@ -209,13 +219,17 @@ class YOLOv4(nn.Module):
     n_classes: int = 80
     dtype: Any = jnp.bfloat16
     width: float = 1.0  # 1.0 = reference architecture; <1 = slim variant
+    # per-CSP-stage remat in the backbone (training-memory lever at the
+    # 256-416 px detector inputs; granularity note in CSPDarknet53)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         input_size = x.shape[1]
         c = lambda n: _scaled(n, self.width)
         x = x.astype(self.dtype)
-        d3, d4, d5 = CSPDarknet53(dtype=self.dtype, width=self.width, name="backbone")(x, train)
+        d3, d4, d5 = CSPDarknet53(dtype=self.dtype, width=self.width,
+                                  remat=self.remat, name="backbone")(x, train)
         p3, p4, p5 = Neck(dtype=self.dtype, width=self.width, name="neck")(d3, d4, d5, train)
 
         def run(z, stack):

@@ -823,11 +823,14 @@ class YoloTrainer:
     """
 
     def __init__(self, width: float = 1.0, input_size: int = 256, seed: int = 0,
-                 lr: float = 3e-4, dtype=jnp.float32, variables=None):
+                 lr: float = 3e-4, dtype=jnp.float32, variables=None,
+                 remat: bool = False):
         """variables: optional {"params", "batch_stats"} to warm-start from
         (fine-tune / extend a previous run's output; optimizer state
-        restarts fresh)."""
-        self.net = YOLOv4(width=width, dtype=dtype)
+        restarts fresh). remat: per-ResBlock activation rematerialization
+        (models/yolov4.py) — buys batch/input-size when HBM binds; same
+        params, same step."""
+        self.net = YOLOv4(width=width, dtype=dtype, remat=remat)
         self.input_size = input_size
         if variables is None:
             variables = jax.jit(
@@ -907,14 +910,16 @@ class HeatmapTrainer:
     def __init__(self, intrinsics: CameraIntrinsics, crop_size: int = 256,
                  stages: Sequence = V2_TINY, seed: int = 0, lr: float = 1e-3,
                  dtype=jnp.float32, w3d: float = 1.0, variables=None,
-                 huber_beta: float = 0.05):
+                 huber_beta: float = 0.05, remat: bool = False):
         """variables: optional {"bbone": full vars, "head": {"params"}} (the
         :attr:`variables` of a previous trainer) to warm-start from.
         huber_beta: smooth-L1 knee in box units — 0.05 = 0.125 m; tighten
         toward ~0.02 when the target is fine-scale pose sensitivity (the
         default's quadratic zone under-weights sub-0.1 m errors, which is
-        exactly the temporal action signal extraction needs)."""
-        self.bbone = EfficientNetV2(stages=stages, dtype=dtype)
+        exactly the temporal action signal extraction needs).
+        remat: per-MBConv activation rematerialization (models/effnetv2.py)
+        — buys batch/crop-size when HBM binds; same params, same step."""
+        self.bbone = EfficientNetV2(stages=stages, dtype=dtype, remat=remat)
         self.head = MetrabsHead()
         self.crop_size = crop_size
         self.k_matrix = jnp.asarray(intrinsics.matrix())
@@ -1039,6 +1044,7 @@ def train_pose_params(
     init_params: Optional[Dict] = None,
     pose_mode: str = "motions",
     pose_huber_beta: float = 0.05,
+    remat: bool = False,
 ) -> Dict:
     """Train YOLOv4 + EffNetV2 + MetrabsHead on synthetic humanoid scenes
     and return the params dict ``HumanPoseEstimator(params=...)`` consumes.
@@ -1067,7 +1073,7 @@ def train_pose_params(
     det_sampler = SyntheticHumanSampler(frame_hw, intrinsics, seed=seed,
                                         pose_mode=pose_mode)
     det = YoloTrainer(width=yolo_width, input_size=yolo_input_size,
-                      seed=seed, lr=lr_det,
+                      seed=seed, lr=lr_det, remat=remat,
                       variables=init_params.get("yolo") if init_params else None)
     for step in range(n_steps_det):
         imgs, boxes, flags = [], [], []
@@ -1104,7 +1110,7 @@ def train_pose_params(
         intrinsics, crop_size=crop_size, stages=stages, seed=seed, lr=lr_pose,
         variables={k: init_params[k] for k in ("bbone", "head")}
         if pose_warm else None,
-        huber_beta=pose_huber_beta,
+        huber_beta=pose_huber_beta, remat=remat,
     )
     for step in range(n_steps_pose):
         frames, boxes, joints = [], [], []

@@ -460,6 +460,66 @@ class TestRemat:
         ))
         assert max(diffs) <= 5e-4, f"remat changed the step: {max(diffs):.2e}"
 
+    @pytest.mark.parametrize("which", ["effnetv2", "yolov4"])
+    def test_pose_backbone_remat(self, rng, which):
+        """The pose-stack backbones carry the same per-block remat lever
+        (EfficientNetV2 per MBConv, YOLOv4 per CSP ResBlock — plumbed
+        through YoloTrainer/HeatmapTrainer/train_pose_params as remat=):
+        saved-for-backward bytes must drop, the parameter tree must be
+        UNCHANGED (importer/checkpoint compatibility), and the forward must
+        be identical."""
+        import jax
+        import jax.numpy as jnp
+
+        try:
+            from jax._src.ad_checkpoint import saved_residuals
+        except ImportError:
+            pytest.skip("saved_residuals API not available in this jax")
+
+        x = rng.normal(size=(4, 64, 64, 3)).astype(np.float32)
+
+        def build(remat):
+            if which == "effnetv2":
+                from isbfsar_tpu.models.effnetv2 import V2_TINY, EfficientNetV2
+                net = EfficientNetV2(stages=V2_TINY, head_filters=64,
+                                     dtype=jnp.float32, remat=remat)
+            else:
+                from isbfsar_tpu.models.yolov4 import YOLOv4
+                net = YOLOv4(width=0.25, dtype=jnp.float32, remat=remat)
+            return net, net.init(jax.random.PRNGKey(0), x)
+
+        def saved_bytes(net, variables):
+            def f(p):
+                out, _ = net.apply(
+                    {"params": p, "batch_stats": variables["batch_stats"]},
+                    x, train=True, mutable=["batch_stats"],
+                )
+                leaves = jax.tree.leaves(out)
+                return sum(jnp.sum(l.astype(jnp.float32) ** 2) for l in leaves)
+
+            res = saved_residuals(f, variables["params"])
+            return sum(int(np.prod(aval.shape)) * aval.dtype.itemsize
+                       for aval, _ in res)
+
+        net_off, v_off = build(False)
+        net_on, v_on = build(True)
+        # identical parameter tree (names + shapes): remat is invisible to
+        # checkpoints and the proven upstream importers
+        paths_off = [p for p, _ in jax.tree_util.tree_flatten_with_path(v_off)[0]]
+        paths_on = [p for p, _ in jax.tree_util.tree_flatten_with_path(v_on)[0]]
+        assert paths_off == paths_on
+        # identical forward
+        out_off = net_off.apply(v_off, x)
+        out_on = net_on.apply(v_off, x)
+        for a, b in zip(jax.tree.leaves(out_off), jax.tree.leaves(out_on)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+        # the memory receipt
+        b_off, b_on = saved_bytes(net_off, v_off), saved_bytes(net_on, v_off)
+        assert b_on < 0.8 * b_off, (
+            f"{which} remat did not cut saved-for-backward bytes: "
+            f"{b_on/2**20:.1f} MB vs {b_off/2**20:.1f} MB"
+        )
+
 
 class TestOrderedImport:
     def test_yolov4_roundtrip(self, rng):

@@ -58,6 +58,12 @@ def main() -> None:
     parser.add_argument("--eval-only", action="store_true",
                         help="skip training; load --init and evaluate it "
                              "(requires --init and --eval)")
+    parser.add_argument("--remat", action="store_true",
+                        help="per-block activation rematerialization in "
+                             "both backbones (models/yolov4.py, "
+                             "models/effnetv2.py): cuts saved-for-backward "
+                             "bytes for ~1/3 extra FLOPs — lets --batch or "
+                             "crop sizes grow past the HBM budget")
     args = parser.parse_args()
 
     import jax
@@ -102,7 +108,7 @@ def main() -> None:
             n_steps_det=args.steps_det, n_steps_pose=args.steps_pose,
             batch_size=args.batch, seed=args.seed, log_every=args.log_every,
             init_params=init_params, empty_frac=args.empty_frac,
-            pose_mode=args.pose_mode,
+            pose_mode=args.pose_mode, remat=args.remat,
             **kw,
         )
         print(f"[train_posestack] trained in {time.time() - t0:.0f}s")
