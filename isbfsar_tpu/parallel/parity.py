@@ -61,28 +61,11 @@ def _one_step_params(cfg, mesh, batch, seed: int = 0,
 
 def _episodic_batch(cfg, n_devices: int, rgb_size: int, modality: str):
     """One deterministic episodic batch, batch-size == n_devices (one
-    episode per device — the strictest sharding)."""
-    from isbfsar_tpu.train.trainer import MODALITY_KEYS
+    episode per device — the strictest sharding). Shared contract:
+    train/synthetic.py::episodic_batch."""
+    from isbfsar_tpu.train.synthetic import episodic_batch
 
-    rng = np.random.default_rng(0)
-    b, way, L = n_devices, cfg.way, cfg.seq_len
-    shapes = {"sk": (cfg.n_joints * 3,), "rgb": (rgb_size, rgb_size, 3)}
-    keys = MODALITY_KEYS[modality]
-
-    def clipset(shape_suffix):
-        return {
-            m: rng.normal(size=shape_suffix + (L,) + shapes[m]).astype(np.float32)
-            for m in keys
-        }
-
-    return {
-        "support_set": clipset((b, way)),
-        "target_set": clipset((b,)),
-        "unknown_set": clipset((b,)),
-        "support_classes": np.tile(np.arange(way, dtype=np.int32), (b, 1)),
-        "target_class": np.zeros((b,), np.int32),
-        "known": np.ones((b,), bool),
-    }
+    return episodic_batch(cfg, n_devices, rgb_size, modality, seed=0)
 
 
 def dp_parity_check(n_devices: int, atol: float = 2e-6,
@@ -355,8 +338,14 @@ def sp_parity_check(n_devices: int,
     from isbfsar_tpu.models.trx import RGBExtractor
     from isbfsar_tpu.parallel.mesh import make_mesh, make_mesh_2d
 
-    sp = 2 if n_devices >= 2 else 1
-    dp = max(1, n_devices // sp)
+    if n_devices < 2:
+        # a 1x1 mesh collapses every sharding to replicated, so the
+        # non-vacuity interceptor (correctly) finds zero sp-sharded
+        # applies and would abort the whole dryrun with a misleading
+        # error — report a clean skip instead
+        return {"skipped": "sequence parallelism needs >= 2 devices"}
+    sp = 2
+    dp = n_devices // sp
     cfg = dataclasses.replace(
         ARConfig.for_input("rgb"),
         batch_size=dp,

@@ -55,3 +55,31 @@ def generate_dataset(
                     cv2.circle(img, (cx, image_size // 2), image_size // 8, (255, 255, 255), -1)
                     cv2.imwrite(os.path.join(clip_dir, f"{i}.png"), img)
     return names
+
+
+def episodic_batch(cfg, batch_size: int, rgb_size: int, modality: str,
+                   seed: int = 0):
+    """One deterministic synthetic episodic batch matching the dataloader's
+    contract (train/dataloader.py) — the single source of truth shared by
+    the parity certificates (parallel/parity.py) and the training bench
+    (tools/bench_train.py), so a batch-contract change cannot silently
+    diverge between them."""
+    from isbfsar_tpu.train.trainer import MODALITY_KEYS
+
+    rng = np.random.default_rng(seed)
+    b, way, L = batch_size, cfg.way, cfg.seq_len
+    shapes = {"sk": (cfg.n_joints * 3,), "rgb": (rgb_size, rgb_size, 3)}
+    keys = MODALITY_KEYS[modality]
+
+    def clipset(lead):
+        return {m: rng.normal(size=lead + (L,) + shapes[m]).astype(np.float32)
+                for m in keys}
+
+    return {
+        "support_set": clipset((b, way)),
+        "target_set": clipset((b,)),
+        "unknown_set": clipset((b,)),
+        "support_classes": np.tile(np.arange(way, dtype=np.int32), (b, 1)),
+        "target_class": np.zeros((b,), np.int32),
+        "known": np.ones((b,), bool),
+    }

@@ -97,7 +97,7 @@ def _sp_extract(model, mesh, seq_axis, params, stats, data, has_bn, train):
     return feats, new_stats
 
 
-def _sp_forward(model, cfg, mesh, seq_axis, params, batch_stats, batch, mask,
+def _sp_forward(model, mesh, seq_axis, params, batch_stats, batch, mask,
                 has_bn, train):
     """Sequence-parallel known-episode forward: extract query, then support
     on a way-minor (b, L, way, ...) layout (constrained P('dp', sp) so the
@@ -163,6 +163,14 @@ def make_loss_fn(model: TRXOS, cfg: ARConfig, mesh=None, seq_axis: Optional[str]
     (parallel/parity.py::sp_parity_check certifies it against the default
     1-device trainer)."""
     sp_hoist = seq_axis is not None and cfg.input_type in ("rgb", "hybrid")
+    if sp_hoist and mesh is None:
+        # without a mesh the _sp_extract pins silently no-op and GSPMD
+        # produces exactly the degraded all-gather plan the hoist exists
+        # to prevent — fail fast instead
+        raise ValueError(
+            "make_loss_fn(seq_axis=...) requires the dp x sp mesh the "
+            "sharding pins are written against (got mesh=None)"
+        )
 
     def loss_fn(params, batch_stats, batch, disc_on: bool, train: bool = True):
         """params/batch_stats are separate so gradients flow only through
@@ -186,7 +194,7 @@ def make_loss_fn(model: TRXOS, cfg: ARConfig, mesh=None, seq_axis: Optional[str]
 
         if sp_hoist:
             out, new_stats = _sp_forward(
-                model, cfg, mesh, seq_axis, params, batch_stats, batch, mask,
+                model, mesh, seq_axis, params, batch_stats, batch, mask,
                 has_bn, train,
             )
         else:

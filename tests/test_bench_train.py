@@ -12,17 +12,19 @@ import sys
 
 import numpy as np
 
-sys.path.insert(0, "tools")
-
-import bench_train
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 class TestBatch:
     def test_episodic_batch_contract(self):
+        """The shared synthetic-batch helper (train/synthetic.py — single
+        source of truth for parity certificates AND the bench) matches the
+        dataloader's batch contract."""
         from isbfsar_tpu.configs import ARConfig
+        from isbfsar_tpu.train.synthetic import episodic_batch
 
         cfg = ARConfig.for_input("hybrid")
-        b = bench_train.episodic_batch(cfg, 4, rgb_size=32, modality="hybrid")
+        b = episodic_batch(cfg, 4, rgb_size=32, modality="hybrid")
         way, L = cfg.way, cfg.seq_len
         assert b["support_set"]["rgb"].shape == (4, way, L, 32, 32, 3)
         assert b["support_set"]["sk"].shape == (4, way, L, 90)
@@ -42,7 +44,7 @@ class TestCLI:
              "--warmup", "1", "--blocks", "1", "--block", "2",
              "--json", str(tmp_path / "row.json")],
             capture_output=True, text=True, timeout=600, env=env,
-            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            cwd=_REPO,
         )
         assert out.returncode == 0, out.stderr[-2000:]
         row = json.loads(out.stdout.strip().splitlines()[-1])

@@ -33,29 +33,6 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def episodic_batch(cfg, batch_size: int, rgb_size: int, modality: str, seed: int = 0):
-    """One synthetic episodic batch matching the dataloader's contract."""
-    from isbfsar_tpu.train.trainer import MODALITY_KEYS
-
-    rng = np.random.default_rng(seed)
-    b, way, L = batch_size, cfg.way, cfg.seq_len
-    shapes = {"sk": (cfg.n_joints * 3,), "rgb": (rgb_size, rgb_size, 3)}
-    keys = MODALITY_KEYS[modality]
-
-    def clipset(lead):
-        return {m: rng.normal(size=lead + (L,) + shapes[m]).astype(np.float32)
-                for m in keys}
-
-    return {
-        "support_set": clipset((b, way)),
-        "target_set": clipset((b,)),
-        "unknown_set": clipset((b,)),
-        "support_classes": np.tile(np.arange(way, dtype=np.int32), (b, 1)),
-        "target_class": np.zeros((b,), np.int32),
-        "known": np.ones((b,), bool),
-    }
-
-
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     parser.add_argument("--input-type", default="skeleton",
@@ -85,6 +62,15 @@ def main() -> None:
                              "because sitecustomize overrides the env var.")
     args = parser.parse_args()
 
+    if args.warmup < 1 or args.blocks < 1 or args.block < 1:
+        raise SystemExit("--warmup/--blocks/--block must all be >= 1 "
+                         "(warmup pays the compile; blocks/block define "
+                         "the timed measurement)")
+    if args.param_sharding == "tp" and args.sp_degree:
+        raise SystemExit("--sp-degree composes with replicated/fsdp param "
+                         "sharding, not tp (would need a 3D mesh) — same "
+                         "rule as isbfsar-train")
+
     if args.platform:
         import jax
 
@@ -101,6 +87,7 @@ def main() -> None:
 
     from isbfsar_tpu.configs import ARConfig
     from isbfsar_tpu.parallel.mesh import make_mesh, make_mesh_2d
+    from isbfsar_tpu.train.synthetic import episodic_batch
     from isbfsar_tpu.train.trainer import Trainer
     from isbfsar_tpu.utils.cache import enable_compile_cache
 
