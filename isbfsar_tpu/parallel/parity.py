@@ -299,13 +299,19 @@ def tp_parity_check(n_devices: int, atol: float = 5e-5) -> Dict[str, float]:
 
 
 def sp_parity_check(n_devices: int,
-                    param_sharding: str = "replicated") -> Dict[str, float]:
+                    param_sharding: str = "replicated",
+                    modality: str = "rgb") -> Dict[str, float]:
     """Assert the sequence-parallel training step over a 2D dp x sp mesh is
     numerically the SAME step as the DEFAULT 1-device replicated trainer.
 
     ``param_sharding="fsdp"`` certifies the documented sp+ZeRO COMPOSITION
     (params/opt-state split over 'dp' while batches shard over dp x sp) —
     still against the plain 1-device replicated baseline.
+
+    ``modality="hybrid"`` certifies the concat path (rgb extractor + the
+    per-frame skeleton MLP, reference model.py:296-304): the sk leaves
+    ride the same way-minor hoist (frame-local Dense, so the transpose is
+    numerically free) and the features concatenate per-frame.
 
     The n-device run shards every clip's TIME axis over ``sp`` on top of
     the usual dp batch sharding (Trainer ``seq_axis="sp"`` ->
@@ -347,13 +353,13 @@ def sp_parity_check(n_devices: int,
     sp = 2
     dp = n_devices // sp
     cfg = dataclasses.replace(
-        ARConfig.for_input("rgb"),
+        ARConfig.for_input(modality),
         batch_size=dp,
         n_task=dp,
         eval_every_n_epoch=10_000,
         rgb_size=32,
     )
-    batch = _episodic_batch(cfg, dp, rgb_size=32, modality="rgb")
+    batch = _episodic_batch(cfg, dp, rgb_size=32, modality=modality)
 
     p1, s1, m1, (p_init, _), _ = _one_step_params(cfg, make_mesh(1), batch)
 
@@ -406,6 +412,7 @@ def sp_parity_check(n_devices: int,
         ),
         "mesh": f"dp{dp}xsp{sp}",
         "param_sharding": param_sharding,
+        "modality": modality,
         "extractor_applies_sp_sharded": f"{sp_sharded}/{len(captured)}",
     }
     # scale-aware BN bounds — same design as dp_parity_check(modality="rgb")

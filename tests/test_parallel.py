@@ -84,6 +84,21 @@ def test_sp_step_matches_single_device():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sp_hybrid_modality():
+    """sp certified on the HYBRID modality (the reference's full config:
+    rgb extractor + per-frame skeleton MLP, concatenated per frame —
+    model.py:296-304): the sk leaves ride the same way-minor hoist and the
+    interceptor still proves the rgb convs computed on sp-sharded frames."""
+    from isbfsar_tpu.parallel.parity import sp_parity_check
+
+    report = sp_parity_check(8, modality="hybrid")
+    assert report["modality"] == "hybrid"
+    assert report["extractor_applies_sp_sharded"] == "3/3"
+    assert report["max_stats_diff"] <= 1e-3
+    assert report["param_rel_diff"] <= 0.10
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_sp_composes_with_fsdp():
     """The documented sp+ZeRO composition: params + optimizer state split
     over 'dp' (shard_params_fsdp) while batches shard over BOTH mesh axes
