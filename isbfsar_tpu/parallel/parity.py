@@ -300,7 +300,8 @@ def tp_parity_check(n_devices: int, atol: float = 5e-5) -> Dict[str, float]:
 
 def sp_parity_check(n_devices: int,
                     param_sharding: str = "replicated",
-                    modality: str = "rgb") -> Dict[str, float]:
+                    modality: str = "rgb",
+                    remat: bool = False) -> Dict[str, float]:
     """Assert the sequence-parallel training step over a 2D dp x sp mesh is
     numerically the SAME step as the DEFAULT 1-device replicated trainer.
 
@@ -312,6 +313,11 @@ def sp_parity_check(n_devices: int,
     per-frame skeleton MLP, reference model.py:296-304): the sk leaves
     ride the same way-minor hoist (frame-local Dense, so the transpose is
     numerically free) and the features concatenate per-frame.
+
+    ``remat=True`` certifies the sp+remat COMPOSITION (per-block
+    jax.checkpoint inside the sp-sharded extractor applies) — remat on
+    the n-device side only, still against the plain 1-device baseline,
+    so the bound also absorbs remat's recompute reassociation.
 
     The n-device run shards every clip's TIME axis over ``sp`` on top of
     the usual dp batch sharding (Trainer ``seq_axis="sp"`` ->
@@ -362,6 +368,8 @@ def sp_parity_check(n_devices: int,
     batch = _episodic_batch(cfg, dp, rgb_size=32, modality=modality)
 
     p1, s1, m1, (p_init, _), _ = _one_step_params(cfg, make_mesh(1), batch)
+    if remat:  # n-device side only: params/init are remat-invariant
+        cfg = dataclasses.replace(cfg, remat=True)
 
     captured = []
 
@@ -413,6 +421,7 @@ def sp_parity_check(n_devices: int,
         "mesh": f"dp{dp}xsp{sp}",
         "param_sharding": param_sharding,
         "modality": modality,
+        "remat": remat,
         "extractor_applies_sp_sharded": f"{sp_sharded}/{len(captured)}",
     }
     # scale-aware BN bounds — same design as dp_parity_check(modality="rgb")

@@ -113,6 +113,22 @@ def test_sp_composes_with_fsdp():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sp_composes_with_remat():
+    """sp + activation remat together: per-block jax.checkpoint inside the
+    sp-sharded ResNet applies (ARConfig.remat) on the n-device side only,
+    still judged against the plain 1-device step — the bound absorbs both
+    the sp collective reassociation and remat's recompute reassociation,
+    and the interceptor still proves the convs ran on sp-sharded frames."""
+    from isbfsar_tpu.parallel.parity import sp_parity_check
+
+    report = sp_parity_check(8, remat=True)
+    assert report["remat"] is True
+    assert report["extractor_applies_sp_sharded"] == "3/3"
+    assert report["max_stats_diff"] <= 1e-3
+    assert report["param_rel_diff"] <= 0.10
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_sp_cuts_per_device_flops():
     """The compiler's own receipt that sequence parallelism divides
     per-device work: for the SAME global batch, the compiled (post-GSPMD,
