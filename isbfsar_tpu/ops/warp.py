@@ -66,7 +66,25 @@ def warp_image_bilinear(
     transform: jnp.ndarray,
     out_size: int = 256,
 ) -> jnp.ndarray:
-    """Bilinear projective warp (higher quality than the reference's nearest)."""
+    """Bilinear projective warp (higher quality than the reference's nearest).
+
+    Single-gather formulation (round 4): the naive form needs FOUR
+    full-frame gathers (one per bilinear corner) and the round-2 device
+    profile measured them as the largest single item in the fused step
+    (4 x 0.217 ms at 224 px — docs/PERF.md "Round-2 device profile";
+    the nearest-fallback fix was refused on train/inference-consistency
+    grounds). Instead, pre-pack the four corners along the channel axis of
+    a 1-px zero-padded copy — pack[y, x] = (P[y,x], P[y,x+1], P[y+1,x],
+    P[y+1,x+1]) — so ONE flat gather at (y0+1, x0+1) fetches all four
+    corner pixels. The pack is pure elementwise layout (XLA slices of one
+    pad), costing ~4 frame-copies of HBM traffic (~50 us at v5e bandwidth)
+    against ~3 saved gathers (~0.65 ms). Semantics are EXACT vs the
+    per-corner-masked form: the zero padding reproduces each corner's
+    individual out-of-bounds zero for every sample point with any support
+    ((sx, sy) in [-1, w] x [-1, h]), and the support mask zeroes the rest
+    (tests/test_ops.py::test_bilinear_single_gather_matches_four_gather
+    sweeps interior/border/outside).
+    """
     h, w, c = img.shape
     sx, sy = _source_coords(transform.astype(jnp.float32), out_size, out_size)
     x0 = jnp.floor(sx)
@@ -75,18 +93,25 @@ def warp_image_bilinear(
     fy = (sy - y0)[..., None]
     x0i, y0i = x0.astype(jnp.int32), y0.astype(jnp.int32)
 
-    flat = img.reshape(h * w, c).astype(jnp.float32)
-
-    def fetch(xi, yi):
-        ok = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
-        idx = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
-        vals = jnp.take(flat, idx.reshape(-1), axis=0).reshape(idx.shape + (c,))
-        return jnp.where(ok[..., None], vals, 0.0)
-
-    v00 = fetch(x0i, y0i)
-    v01 = fetch(x0i + 1, y0i)
-    v10 = fetch(x0i, y0i + 1)
-    v11 = fetch(x0i + 1, y0i + 1)
+    padded = jnp.pad(img.astype(jnp.float32), ((1, 1), (1, 1), (0, 0)))
+    pack = jnp.concatenate(
+        [
+            padded[:-1, :-1],  # (y0, x0)
+            padded[:-1, 1:],   # (y0, x0+1)
+            padded[1:, :-1],   # (y0+1, x0)
+            padded[1:, 1:],    # (y0+1, x0+1)
+        ],
+        axis=-1,
+    )  # (h+1, w+1, 4c): pack[y, x] holds the 2x2 corner block at (y-1, x-1)
+    support = (sx >= -1.0) & (sx <= w) & (sy >= -1.0) & (sy <= h)
+    px = jnp.clip(x0i + 1, 0, w)
+    py = jnp.clip(y0i + 1, 0, h)
+    flat = pack.reshape((h + 1) * (w + 1), 4 * c)
+    corners = jnp.take(flat, (py * (w + 1) + px).reshape(-1), axis=0).reshape(
+        px.shape + (4 * c,)
+    )
+    corners = jnp.where(support[..., None], corners, 0.0)
+    v00, v01, v10, v11 = (corners[..., i * c:(i + 1) * c] for i in range(4))
     top = v00 * (1 - fx) + v01 * fx
     bot = v10 * (1 - fx) + v11 * fx
     return top * (1 - fy) + bot * fy

@@ -193,6 +193,55 @@ class TestWarp:
         out = np.asarray(ops.warp_image_bilinear(jnp.asarray(img), jnp.eye(3)[None], out_size=64))
         np.testing.assert_allclose(out[0], img, atol=1e-3)
 
+    def test_bilinear_single_gather_matches_four_gather(self, rng):
+        """The shipped single-gather packed formulation (ops/warp.py round-4
+        note) must be EXACTLY the per-corner-masked bilinear sample: four
+        independently bounds-checked fetches, zeros out of bounds. Sweeps
+        transforms whose sample grids hit the interior, straddle every
+        border (the 1-px padding's edge cases), and leave the frame
+        entirely."""
+        h, w = 48, 56
+        img = rng.integers(0, 255, (h, w, 3)).astype(np.float32)
+
+        def four_gather_spec(img, t, out_size):
+            t = t / t[2, 2]
+            ys, xs = np.mgrid[0:out_size, 0:out_size].astype(np.float32)
+            k = t[2, 0] * xs + t[2, 1] * ys + 1.0
+            sx = (t[0, 0] * xs + t[0, 1] * ys + t[0, 2]) / k
+            sy = (t[1, 0] * xs + t[1, 1] * ys + t[1, 2]) / k
+            x0 = np.floor(sx).astype(np.int64)
+            y0 = np.floor(sy).astype(np.int64)
+            fx = (sx - x0)[..., None]
+            fy = (sy - y0)[..., None]
+
+            def fetch(xi, yi):
+                ok = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+                vals = img[np.clip(yi, 0, h - 1), np.clip(xi, 0, w - 1)]
+                return np.where(ok[..., None], vals, 0.0)
+
+            top = fetch(x0, y0) * (1 - fx) + fetch(x0 + 1, y0) * fx
+            bot = fetch(x0, y0 + 1) * (1 - fx) + fetch(x0 + 1, y0 + 1) * fx
+            return top * (1 - fy) + bot * fy
+
+        transforms = np.asarray(
+            [
+                np.eye(3),                                                  # interior
+                [[0.5, 0.1, -3.2], [-0.05, 0.7, -2.9], [1e-4, -2e-4, 1.0]],  # left/top straddle
+                [[1.3, 0.0, 40.1], [0.0, 1.3, 30.7], [0.0, 0.0, 1.0]],       # right/bottom straddle
+                [[1.0, 0.0, -0.99], [0.0, 1.0, -0.99], [0.0, 0.0, 1.0]],     # 1-px outside support edge
+                [[1.0, 0.0, 500.0], [0.0, 1.0, 500.0], [0.0, 0.0, 1.0]],     # fully outside -> zeros
+                [[2.0, 0.0, -8.0], [0.0, 2.0, -5.0], [0.0, 0.0, 2.0]],       # H22 != 1
+            ],
+            dtype=np.float32,
+        )
+        got = np.asarray(ops.warp_image_bilinear(
+            jnp.asarray(img), jnp.asarray(transforms), out_size=32))
+        for b, t in enumerate(transforms):
+            want = four_gather_spec(img, t, 32)
+            np.testing.assert_allclose(got[b], want, atol=2e-3,
+                                       err_msg=f"transform {b}")
+        assert np.all(got[4] == 0.0)  # the fully-outside grid really zeroed
+
 
 class TestTuples:
     def test_pairs_16(self):
