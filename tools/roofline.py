@@ -71,6 +71,20 @@ def device_time(fn: Callable[[], Any], n_blocks: int, block: int,
     return {"median_s": float(np.median(times)), "min_s": float(np.min(times))}
 
 
+def _tree_nbytes(tree) -> int:
+    """Total bytes of every array leaf (program I/O accounting)."""
+    import jax
+
+    total = 0
+    for x in jax.tree.leaves(tree):
+        shape = getattr(x, "shape", None)
+        dtype = getattr(x, "dtype", None)
+        if shape is None or dtype is None:
+            continue
+        total += int(np.prod(shape, dtype=np.int64)) * np.dtype(dtype).itemsize
+    return total
+
+
 def audit(name: str, jitted, args: Sequence[Any], n_blocks: int, block: int,
           peak_tflops: float, peak_gbs: float,
           calls_per_item: int = 1, timed_fn=None) -> Dict[str, Any]:
@@ -79,38 +93,60 @@ def audit(name: str, jitted, args: Sequence[Any], n_blocks: int, block: int,
     `timed_fn` overrides the timing callable — needed for donating
     programs, where the caller must thread the donated buffer between
     calls (lowering for cost analysis never executes, so it is safe on
-    the original args either way)."""
+    the original args either way).
+
+    Two speed-of-light bounds (round-4 finding, docs/PERF.md "Roofline
+    audit"): XLA's ``cost_analysis`` bytes are PRE-FUSION — each op's
+    operands+results counted even when fusion keeps them in VMEM — so they
+    are an UPPER bound on HBM traffic (the first on-chip run measured
+    "656% of roof": the measurement disproving its own bytes term). The
+    defensible floor uses the bytes that MUST cross HBM: the program's
+    inputs (weights included — every step reads them) + outputs.
+
+        sol_floor = max(flops/peak_flops, io_bytes/peak_bw)   <= true SoL
+        sol_upper = max(flops/peak_flops, cost_bytes/peak_bw) >= true SoL
+
+    ``pct_of_roofline`` = sol_floor/measured: a conservative "we are AT
+    LEAST this close to speed of light". A program whose measured time
+    beats sol_upper has out-fused the cost model (``fused_beyond_cost_
+    model``); one far above sol_floor with low FLOPs is overhead- or
+    layout-bound and has real headroom."""
+    import jax
+
     compiled = jitted.lower(*args).compile()
     cost = cost_of(compiled)
+    io_bytes = _tree_nbytes(args) + _tree_nbytes(
+        getattr(compiled, "out_info", ())
+    )
     t = device_time(timed_fn or (lambda: jitted(*args)), n_blocks, block)
     dt = t["min_s"]
     flops, bytes_ = cost["flops"], cost["bytes"]
-    achieved_tflops = flops / dt / 1e12
-    achieved_gbs = bytes_ / dt / 1e9
-    intensity = flops / bytes_ if bytes_ else float("inf")
-    balance = peak_tflops * 1e12 / (peak_gbs * 1e9)  # FLOPs/byte at the ridge
-    bound = "compute" if intensity >= balance else "bandwidth"
-    # time a perfect machine would need: max of the two roofline terms
-    sol_s = max(flops / (peak_tflops * 1e12), bytes_ / (peak_gbs * 1e9))
+    flops_s = flops / (peak_tflops * 1e12)
+    sol_floor = max(flops_s, io_bytes / (peak_gbs * 1e9))
+    sol_upper = max(flops_s, bytes_ / (peak_gbs * 1e9))
+    floor_bound = "compute" if flops_s >= io_bytes / (peak_gbs * 1e9) else "bandwidth"
     row = {
         "name": name,
         "per_frame_ms": round(dt / calls_per_item * 1e3, 4),
         "median_ms": round(t["median_s"] / calls_per_item * 1e3, 4),
         "gflops": round(flops / 1e9, 3),
-        "mbytes": round(bytes_ / 1e6, 3),
-        "intensity_flops_per_byte": round(intensity, 1),
-        "bound": bound,
-        "achieved_tflops": round(achieved_tflops, 2),
-        "achieved_gbs": round(achieved_gbs, 1),
-        "speed_of_light_ms": round(sol_s / calls_per_item * 1e3, 4),
-        "pct_of_roofline": round(100.0 * sol_s / dt, 1),
+        "cost_model_mbytes": round(bytes_ / 1e6, 3),
+        "io_mbytes": round(io_bytes / 1e6, 3),
+        "floor_bound": floor_bound,
+        "achieved_tflops": round(flops / dt / 1e12, 2),
+        "sol_floor_ms": round(sol_floor / calls_per_item * 1e3, 4),
+        "sol_upper_ms": round(sol_upper / calls_per_item * 1e3, 4),
+        "pct_of_roofline": round(100.0 * sol_floor / dt, 1),
+        "fused_beyond_cost_model": bool(dt < sol_upper),
+        "mfu_pct": round(100.0 * flops / dt / (peak_tflops * 1e12), 4),
     }
     print(
         f"[roofline] {name:18s} {row['per_frame_ms']:8.3f} ms/frame  "
-        f"{row['gflops']:9.2f} GF {row['mbytes']:9.1f} MB  "
-        f"AI {row['intensity_flops_per_byte']:7.1f}  {bound:9s}-bound  "
-        f"SoL {row['speed_of_light_ms']:.3f} ms  "
-        f"-> {row['pct_of_roofline']:5.1f}% of roof",
+        f"{row['gflops']:9.2f} GF  io {row['io_mbytes']:8.1f} MB "
+        f"(cost-model {row['cost_model_mbytes']:9.1f} MB)  "
+        f"{floor_bound:9s}-floor  SoL [{row['sol_floor_ms']:.3f}, "
+        f"{row['sol_upper_ms']:.3f}] ms  -> >={row['pct_of_roofline']:5.1f}% "
+        f"of SoL, MFU {row['mfu_pct']:.1f}%",
         file=sys.stderr,
     )
     return row
