@@ -35,6 +35,23 @@ def batch_sharding(mesh: Mesh, axis: str = "dp") -> NamedSharding:
     """Leading-axis (batch) sharding."""
     return NamedSharding(mesh, P(axis))
 
+
+def put_global(x, sharding: NamedSharding):
+    """Place one host array under ``sharding`` — multi-controller-safe.
+
+    Single-process meshes take the plain ``jax.device_put`` fast path. When
+    the mesh spans multiple processes (the multi-host DCN topology,
+    docs/SCALING.md "Topology notes"), ``jax.device_put`` of host data is
+    not defined for non-addressable devices, so each process contributes
+    only its own addressable shards via ``jax.make_array_from_callback`` —
+    the caller passes the full (deterministically identical) host value and
+    each host slices out what it owns locally, i.e. only the data a host's
+    own devices consume ever crosses its process boundary."""
+    if any(d.process_index != jax.process_index() for d in sharding.device_set):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+    return jax.device_put(x, sharding)
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
@@ -42,11 +59,11 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def shard_batch(batch, mesh: Mesh, axis: str = "dp"):
     """Place a host pytree with every leaf sharded over its leading axis."""
     sh = batch_sharding(mesh, axis)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    return jax.tree.map(lambda x: put_global(x, sh), batch)
 
 
 def replicate(tree, mesh: Mesh):
-    return jax.tree.map(lambda x: jax.device_put(x, replicated(mesh)), tree)
+    return jax.tree.map(lambda x: put_global(x, replicated(mesh)), tree)
 
 
 def fsdp_spec(shape, n: int, axis: str = "dp", min_size: int = 4096) -> P:
@@ -84,7 +101,7 @@ def shard_params_fsdp(tree, mesh: Mesh, axis: str = "dp", min_size: int = 4096):
 
     def place(x):
         spec = fsdp_spec(np.shape(x), n, axis, min_size)
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        return put_global(x, NamedSharding(mesh, spec))
 
     return jax.tree.map(place, tree)
 
@@ -124,7 +141,7 @@ def shard_batch_sp(batch, mesh: Mesh, dp_axis: str = "dp", seq_axis: str = "sp")
     for key, sub in batch.items():
         def place(x, key=key):
             spec = sp_batch_spec(key, np.ndim(x), dp_axis, seq_axis)
-            return jax.device_put(x, NamedSharding(mesh, spec))
+            return put_global(x, NamedSharding(mesh, spec))
 
         out[key] = jax.tree.map(place, sub)
     return out
@@ -210,6 +227,6 @@ def shard_params_tp(tree, mesh: Mesh, axis: str = "tp"):
 
     def place(path, x):
         spec = tp_spec(_path_names(path), np.shape(x), n, axis)
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        return put_global(x, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(place, tree)
