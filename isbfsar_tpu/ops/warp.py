@@ -65,13 +65,14 @@ def warp_image_bilinear(
     img: jnp.ndarray,
     transform: jnp.ndarray,
     out_size: int = 256,
+    packed: bool = True,
 ) -> jnp.ndarray:
     """Bilinear projective warp (higher quality than the reference's nearest).
 
-    Single-gather formulation (round 4): the naive form needs FOUR
-    full-frame gathers (one per bilinear corner) and the round-2 device
-    profile measured them as the largest single item in the fused step
-    (4 x 0.217 ms at 224 px — docs/PERF.md "Round-2 device profile";
+    Single-gather formulation (round 4, ``packed=True``): the naive form
+    needs FOUR full-frame gathers (one per bilinear corner) and the round-2
+    device profile measured them as the largest single item in the fused
+    step (4 x 0.217 ms at 224 px — docs/PERF.md "Round-2 device profile";
     the nearest-fallback fix was refused on train/inference-consistency
     grounds). Instead, pre-pack the four corners along the channel axis of
     a 1-px zero-padded copy — pack[y, x] = (P[y,x], P[y,x+1], P[y+1,x],
@@ -83,7 +84,13 @@ def warp_image_bilinear(
     individual out-of-bounds zero for every sample point with any support
     ((sx, sy) in [-1, w] x [-1, h]), and the support mask zeroes the rest
     (tests/test_ops.py::test_bilinear_single_gather_matches_four_gather
-    sweeps interior/border/outside).
+    sweeps interior/border/outside and both formulations).
+
+    ``packed=False`` keeps the classic four-gather form — a trace-time
+    constant, retained so the two formulations can be A/B-measured in one
+    session (tools/ab_warp.py) and in case a future batched profile favors
+    it (gathers read only the touched rows; the pack always writes 4
+    frame-copies).
     """
     h, w, c = img.shape
     sx, sy = _source_coords(transform.astype(jnp.float32), out_size, out_size)
@@ -92,6 +99,24 @@ def warp_image_bilinear(
     fx = (sx - x0)[..., None]
     fy = (sy - y0)[..., None]
     x0i, y0i = x0.astype(jnp.int32), y0.astype(jnp.int32)
+
+    if not packed:
+        flat = img.reshape(h * w, c).astype(jnp.float32)
+
+        def fetch(xi, yi):
+            ok = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+            idx = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
+            vals = jnp.take(flat, idx.reshape(-1), axis=0).reshape(
+                idx.shape + (c,))
+            return jnp.where(ok[..., None], vals, 0.0)
+
+        v00 = fetch(x0i, y0i)
+        v01 = fetch(x0i + 1, y0i)
+        v10 = fetch(x0i, y0i + 1)
+        v11 = fetch(x0i + 1, y0i + 1)
+        top = v00 * (1 - fx) + v01 * fx
+        bot = v10 * (1 - fx) + v11 * fx
+        return top * (1 - fy) + bot * fy
 
     padded = jnp.pad(img.astype(jnp.float32), ((1, 1), (1, 1), (0, 0)))
     pack = jnp.concatenate(

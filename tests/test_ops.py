@@ -193,13 +193,14 @@ class TestWarp:
         out = np.asarray(ops.warp_image_bilinear(jnp.asarray(img), jnp.eye(3)[None], out_size=64))
         np.testing.assert_allclose(out[0], img, atol=1e-3)
 
-    def test_bilinear_single_gather_matches_four_gather(self, rng):
-        """The shipped single-gather packed formulation (ops/warp.py round-4
-        note) must be EXACTLY the per-corner-masked bilinear sample: four
-        independently bounds-checked fetches, zeros out of bounds. Sweeps
-        transforms whose sample grids hit the interior, straddle every
-        border (the 1-px padding's edge cases), and leave the frame
-        entirely."""
+    @pytest.mark.parametrize("packed", [True, False])
+    def test_bilinear_single_gather_matches_four_gather(self, rng, packed):
+        """BOTH formulations (packed single-gather and classic four-gather,
+        ops/warp.py round-4 note) must be EXACTLY the per-corner-masked
+        bilinear sample: four independently bounds-checked fetches, zeros
+        out of bounds. Sweeps transforms whose sample grids hit the
+        interior, straddle every border (the 1-px padding's edge cases),
+        and leave the frame entirely."""
         h, w = 48, 56
         img = rng.integers(0, 255, (h, w, 3)).astype(np.float32)
 
@@ -235,7 +236,8 @@ class TestWarp:
             dtype=np.float32,
         )
         got = np.asarray(ops.warp_image_bilinear(
-            jnp.asarray(img), jnp.asarray(transforms), out_size=32))
+            jnp.asarray(img), jnp.asarray(transforms), out_size=32,
+            packed=packed))
         for b, t in enumerate(transforms):
             want = four_gather_spec(img, t, 32)
             np.testing.assert_allclose(got[b], want, atol=2e-3,
