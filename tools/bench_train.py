@@ -54,6 +54,9 @@ def main() -> None:
     parser.add_argument("--block", type=int, default=10,
                         help="steps per timed block (one sync per block)")
     parser.add_argument("--json", default=None, help="also write the row here")
+    parser.add_argument("--peak-tflops", type=float, default=197.0,
+                        help="per-device matmul peak for the MFU figure "
+                             "(default TPU v5e bf16)")
     parser.add_argument("--init-timeout", type=float, default=120.0)
     parser.add_argument("--platform", default=None,
                         help="force a jax platform (e.g. 'cpu'; pair with "
@@ -150,6 +153,22 @@ def main() -> None:
         block_s.append((time.time() - t0) / args.block)
     med = float(np.median(block_s))
 
+    # Training MFU: the compiled step's own cost-model FLOPs over the
+    # measured median step time, against the per-device matmul peak
+    # (lowering never executes, so the donated buffers are safe). On the
+    # virtual CPU mesh the % is meaningless — report it only off-CPU.
+    from tools.roofline import cost_of
+
+    step_flops = cost_of(
+        trainer._train_step.lower(trainer.params, trainer.batch_stats,
+                                  trainer.opt_state, placed, True).compile()
+    )["flops"]
+    backend = jax.devices()[0].platform
+    mfu_pct = (
+        round(100.0 * step_flops / med / (n * args.peak_tflops * 1e12), 4)
+        if backend != "cpu" else None
+    )
+
     row = {
         "metric": "train_steps_per_s",
         "value": round(1.0 / med, 3),
@@ -165,7 +184,9 @@ def main() -> None:
         "sp_degree": args.sp_degree or None,
         "remat": args.remat,
         "accum": args.accum,
-        "backend": jax.devices()[0].platform,
+        "backend": backend,
+        "step_gflops": round(step_flops / 1e9, 2),
+        "train_mfu_pct": mfu_pct,
     }
     print(json.dumps(row))
     if args.json:
