@@ -1,0 +1,82 @@
+"""ops/smooth.py — the One-Euro pose smoother.
+
+Pins: np-sequence vs jnp-step parity (the extraction path and the live
+fused path must produce the SAME filtered sequence), causality, and the
+two properties the filter exists for — jitter suppression on quasi-static
+input and near-unit response to genuine motion (the tracking-slope failure
+mode a plain EMA would introduce; docs/PERF.md "Temporal pose smoothing").
+"""
+
+import numpy as np
+import pytest
+
+from isbfsar_tpu.ops import smooth
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(7)
+
+
+class TestOneEuro:
+    def test_np_jnp_parity(self, rng):
+        xs = rng.normal(size=(24, 30, 3)).astype(np.float32)
+        want = smooth.one_euro(xs)
+        state = smooth.one_euro_init(xs[0])
+        got = [xs[0]]
+        for t in range(1, xs.shape[0]):
+            state, x_hat = smooth.one_euro_step(state, xs[t])
+            got.append(np.asarray(x_hat))
+        np.testing.assert_allclose(np.stack(got), want, atol=1e-5)
+
+    def test_causal_prefix_stable(self, rng):
+        """Filtering a prefix equals the prefix of filtering the whole
+        sequence — no lookahead."""
+        xs = rng.normal(size=(20, 8)).astype(np.float32)
+        np.testing.assert_allclose(
+            smooth.one_euro(xs[:11]), smooth.one_euro(xs)[:11], atol=1e-7)
+
+    def test_first_sample_passthrough(self, rng):
+        xs = rng.normal(size=(5, 4)).astype(np.float32)
+        np.testing.assert_allclose(smooth.one_euro(xs)[0], xs[0])
+
+    def test_static_jitter_suppressed(self, rng):
+        """Static pose + white noise: filtered deviation well under raw."""
+        true = np.zeros((64, 30, 3), np.float32)
+        noisy = true + rng.normal(0, 0.045, true.shape).astype(np.float32)
+        out = smooth.one_euro(noisy)
+        raw_rms = float(np.sqrt(np.mean(noisy[8:] ** 2)))
+        flt_rms = float(np.sqrt(np.mean(out[8:] ** 2)))
+        assert flt_rms < 0.55 * raw_rms, (flt_rms, raw_rms)
+
+    def test_motion_tracked(self, rng):
+        """A moving joint must be followed with near-unit slope: regress
+        filtered deviations-from-clip-mean on true deviations (the
+        tracking-slope metric, docs/PERF.md) — the adaptive cutoff must
+        NOT flatten genuine motion the way a plain EMA would."""
+        t = np.linspace(0, 2 * np.pi, 32, dtype=np.float32)
+        true = np.zeros((32, 3), np.float32)
+        true[:, 1] = 0.15 * np.sin(t)  # ~6 cm/frame peak speed
+        noisy = true + rng.normal(0, 0.045, true.shape).astype(np.float32)
+        out = smooth.one_euro(noisy)
+        dev_t = true - true.mean(0)
+        dev_f = out - out.mean(0)
+        slope = float(np.sum(dev_t * dev_f) / np.maximum(
+            np.sum(dev_t * dev_t), 1e-9))
+        assert slope > 0.8, slope
+
+    def test_step_in_jit(self, rng):
+        """The jnp step must trace under jit with carried state."""
+        import jax
+        import jax.numpy as jnp
+
+        xs = jnp.asarray(rng.normal(size=(10, 6)).astype(np.float32))
+        state = smooth.one_euro_init(xs[0])
+
+        @jax.jit
+        def tick(state, x):
+            return smooth.one_euro_step(state, x)
+
+        for t in range(1, 10):
+            state, out = tick(state, xs[t])
+        assert out.shape == (6,)
