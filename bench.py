@@ -60,7 +60,7 @@ def _bench_blocks(fn, n_blocks: int = 5, block: int = 100, warmup: int = 5):
     return float(np.median(times)), float(np.min(times))
 
 
-def bench_full(param_dtype: str = "float32") -> dict:
+def bench_full(param_dtype: str = "bfloat16") -> dict:
     import jax
 
     from isbfsar_tpu.configs import PipelineConfig
@@ -350,7 +350,7 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", default="all",
                         choices=["all", "full", "ar", "fsos", "hpe", "focus"])
-    parser.add_argument("--param-dtype", default="float32",
+    parser.add_argument("--param-dtype", default="bfloat16",
                         choices=["float32", "bfloat16"],
                         help="fused-pipeline parameter storage dtype "
                              "('bfloat16' = trunk-weight cast A/B)")

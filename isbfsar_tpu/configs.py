@@ -206,14 +206,18 @@ class PipelineConfig:
     # stage"); both are parity-exact, the kernel stays as the measured
     # decision record.
     pallas_input: Optional[bool] = None
-    # Storage dtype for the fused program's parameters. "bfloat16" halves
-    # the weight HBM traffic — at batch 1 every weight byte is read once
-    # per frame, so this targets the serving path's dominant device-memory
-    # term (compute already runs bf16 on the MXU; see docs/PERF.md
-    # "Precision decisions"). Accuracy deltas on the trained CI nets are
-    # pinned by tests/test_param_dtype.py. "float32" (default) keeps full
-    # storage precision.
-    param_dtype: str = "float32"
+    # Storage dtype for the fused program's parameters. "bfloat16"
+    # (default, round 4) halves the weight HBM traffic — at batch 1 every
+    # weight byte is read once per frame, so this targets the serving
+    # path's dominant device-memory term (compute already runs bf16 on the
+    # MXU; see docs/PERF.md "Precision decisions"). Measured on-chip:
+    # fused_step 6.16 -> 4.24 ms/frame (io bytes 782 -> 419 MB,
+    # docs/ROOFLINE_r4*.json), batch-16 unchanged (weights amortize);
+    # accuracy deltas on the trained CI nets are decision-identical and
+    # pose deltas sub-noise (tests/test_param_dtype.py — the receipt that
+    # justified flipping the default). "float32" keeps full storage
+    # precision for accuracy forensics.
+    param_dtype: str = "bfloat16"
 
     @staticmethod
     def for_input(input_type: InputType) -> "PipelineConfig":

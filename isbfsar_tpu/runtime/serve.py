@@ -49,7 +49,7 @@ def main() -> None:
                              "dispatch frame i while decoding frame i-1 — "
                              "~2x the serve-loop FPS through a remote-"
                              "attached chip at one frame of added lag")
-    parser.add_argument("--param-dtype", default="float32",
+    parser.add_argument("--param-dtype", default="bfloat16",
                         choices=["float32", "bfloat16"],
                         help="fused-path parameter storage: bfloat16 casts "
                              "the conv-trunk weights, halving the batch-1 "

@@ -26,8 +26,15 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def extract_clip(estimator, video_path: str, n_frames: int, with_images: bool):
-    """Returns (poses list of (122, 3) root-relative, crops list) or None."""
+def extract_clip(estimator, video_path: str, n_frames: int, with_images: bool,
+                 smooth: bool = False):
+    """Returns (poses list of (122, 3) root-relative, crops list) or None.
+
+    ``smooth=True`` runs the causal One-Euro filter over the extracted pose
+    sequence (ops/smooth.py) — cuts the per-frame extraction jitter that
+    bounds downstream AR accuracy (docs/PERF.md "Temporal pose smoothing")
+    while staying causal, so a live consumer applying the same filter
+    per-tick sees the identical distribution."""
     import cv2
 
     cap = cv2.VideoCapture(video_path)
@@ -68,11 +75,15 @@ def extract_clip(estimator, video_path: str, n_frames: int, with_images: bool):
         poses += [poses[-1]] * (n_frames - len(poses))
         if with_images:
             crops += [crops[-1]] * (n_frames - len(crops))
+    if smooth:
+        from isbfsar_tpu.ops.smooth import one_euro
+
+        poses = list(one_euro(np.stack(poses)))
     return poses, crops
 
 
 def extract_tree(estimator, videos_root: str, out_root: str, n_frames: int = 16,
-                 with_images: bool = False):
+                 with_images: bool = False, smooth: bool = False):
     """Walk ``videos_root/<class>/<clip-video>`` and emit the training tree.
 
     Resumable: clips already extracted for a class are skipped by counting
@@ -113,7 +124,8 @@ def extract_tree(estimator, videos_root: str, out_root: str, n_frames: int = 16,
             if idx in done_idx:
                 continue
             result = extract_clip(
-                estimator, os.path.join(class_dir, vid), n_frames, with_images
+                estimator, os.path.join(class_dir, vid), n_frames, with_images,
+                smooth=smooth,
             )
             if result is None:
                 print(f"[extract] SKIP {class_name}/{vid} (no usable pose)")
@@ -142,6 +154,9 @@ def main() -> None:
     parser.add_argument("--out", required=True)
     parser.add_argument("--n-frames", type=int, default=16)
     parser.add_argument("--with-images", action="store_true")
+    parser.add_argument("--smooth", action="store_true",
+                        help="causal One-Euro smoothing of each clip's "
+                             "pose sequence (ops/smooth.py)")
     parser.add_argument("--checkpoint", default=None, help="HPE params msgpack")
     args = parser.parse_args()
 
@@ -165,7 +180,8 @@ def main() -> None:
             load_checkpoint(args.checkpoint, estimator.params)
         )
 
-    extract_tree(estimator, args.videos, args.out, args.n_frames, args.with_images)
+    extract_tree(estimator, args.videos, args.out, args.n_frames, args.with_images,
+                 smooth=args.smooth)
 
 
 if __name__ == "__main__":

@@ -161,7 +161,7 @@ def main() -> None:
     parser.add_argument("--peak-gbs", type=float, default=V5E_PEAK_GBS)
     parser.add_argument("--skip-fused", action="store_true",
                         help="only the standalone module programs (faster)")
-    parser.add_argument("--param-dtype", default="float32",
+    parser.add_argument("--param-dtype", default="bfloat16",
                         choices=["float32", "bfloat16"],
                         help="PipelineConfig.param_dtype for the fused "
                              "programs — 'bfloat16' audits the trunk-weight "

@@ -130,6 +130,7 @@ def run_workflow(
     batch_size: int = 8,
     fsos_repeats: int = 5,
     z_range: Tuple[float, float] = (1.8, 2.4),
+    smooth: bool = False,
     seed: int = 0,
     log: bool = True,
 ) -> Dict:
@@ -170,6 +171,9 @@ def run_workflow(
         train_classes=tuple(train_classes), test_classes=tuple(test_classes),
         clips_per_class=clips_per_class, exemplar_clips=exemplar_clips,
         n_frames=n_frames, z_range=tuple(z_range), seed=seed,
+        # only key the fingerprint when ON: keeps every pre-smoothing
+        # workdir (and the suite's cached renders) valid for smooth=False
+        **({"smooth": True} if smooth else {}),
     )
     if workdir is None:
         # fingerprint-keyed dir under the params cache: a retrained fixture
@@ -246,7 +250,8 @@ def run_workflow(
     trees = {k: os.path.join(workdir, f"tree_{k}") for k in vids}
     n_skipped = 0
     for k in vids:
-        extract_tree(estimator, vids[k], trees[k], n_frames=n_frames)
+        extract_tree(estimator, vids[k], trees[k], n_frames=n_frames,
+                     smooth=smooth)
         for cls in os.listdir(trees[k]):
             n_skipped += sum(
                 e.startswith(".skip_")
@@ -293,6 +298,7 @@ def run_workflow(
         "exemplar_clips": exemplar_clips,
         "fingerprint": fp,
         "skipped_clips": n_skipped,
+        "smooth": smooth,
         "way": way,
         "seq_len": seq_len,
         "epochs": n_epochs,
@@ -348,6 +354,10 @@ def main() -> None:
     parser.add_argument("--n-task", type=int, default=160)
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--repeats", type=int, default=5)
+    parser.add_argument("--smooth", action="store_true",
+                        help="causal One-Euro smoothing of extracted pose "
+                             "sequences (ops/smooth.py) — the accuracy "
+                             "lever against per-frame extraction noise")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
 
@@ -396,7 +406,7 @@ def main() -> None:
         pose_params, args.workdir, clips_per_class=args.clips,
         n_frames=args.n_frames, seq_len=args.seq_len, way=args.way,
         n_epochs=args.epochs, n_task=args.n_task, batch_size=args.batch,
-        fsos_repeats=args.repeats, seed=args.seed, **kw,
+        fsos_repeats=args.repeats, smooth=args.smooth, seed=args.seed, **kw,
     )
     print("[synth_workflow:receipt] " + json.dumps(receipt))
 
