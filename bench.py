@@ -60,7 +60,7 @@ def _bench_blocks(fn, n_blocks: int = 5, block: int = 100, warmup: int = 5):
     return float(np.median(times)), float(np.min(times))
 
 
-def bench_full(param_dtype: str = "bfloat16") -> dict:
+def bench_full(param_dtype: str = "bfloat16", compute_only: bool = False) -> dict:
     import jax
 
     from isbfsar_tpu.configs import PipelineConfig
@@ -68,18 +68,45 @@ def bench_full(param_dtype: str = "bfloat16") -> dict:
     from isbfsar_tpu.runtime.source import SyntheticSource
 
     # param_dtype="bfloat16": trunk-weight storage cast (docs/PERF.md
-    # "Precision decisions") — the serve/stream A/B for the HBM term.
+    # "Precision decisions") — the serving default; --param-dtype float32
+    # for the A/B.
     config = PipelineConfig(param_dtype=param_dtype)
-    # Random-init weights never clear the reference's 0.3 confidence gate;
-    # thresh 0 keeps the full detect->pose->match path engaged so the bench
-    # measures the real per-frame work.
-    config = dataclasses.replace(config, hpe=dataclasses.replace(config.hpe, yolo_thresh=0.0))
+
+    # Default (round 4): THE PRODUCT DOING ITS JOB — the bundled TRAINED
+    # production pose stack at the reference's 0.3 confidence gate
+    # (reference utils/params.py:34), streaming rendered humanoid frames so
+    # detections actually fire (asserted below). --compute-only keeps the
+    # historical mode: random-init weights at thresh 0 on procedural
+    # frames — FLOPs-identical per frame (weight-independent), useful when
+    # the bundle is absent or for continuity with earlier rounds' numbers.
+    trained = False
+    hpe = None
+    if not compute_only:
+        try:
+            from isbfsar_tpu import pretrained
+
+            prod = pretrained.load("pose-prod-256")
+            trained = True
+        except KeyError as e:
+            print(f"[bench] pose-prod-256 not bundled ({e}); falling back "
+                  f"to --compute-only mode", file=sys.stderr)
+    if trained:
+        from isbfsar_tpu.hpe.estimator import HumanPoseEstimator
+
+        cam_shape = (config.main.cam_height, config.main.cam_width)
+        hpe = HumanPoseEstimator(config.hpe, config.intrinsics,
+                                 params=prod, frame_shape=cam_shape)
+    else:
+        config = dataclasses.replace(
+            config, hpe=dataclasses.replace(config.hpe, yolo_thresh=0.0))
     t0 = time.time()
     print("[bench] building pipeline (param init)...", file=sys.stderr)
     # i420 transport: cameras emit planar YUV natively; half the bytes of
     # BGR24 over the host->device link, converted to BGR in-graph.
-    pipe = FusedPipeline(config, with_focus=True, input_format="i420")
-    print(f"[bench] built in {time.time() - t0:.1f}s", file=sys.stderr)
+    pipe = FusedPipeline(config, hpe=hpe, with_focus=True, input_format="i420")
+    print(f"[bench] built in {time.time() - t0:.1f}s "
+          f"({'TRAINED stack @ 0.3 gate' if trained else 'compute-only'})",
+          file=sys.stderr)
 
     rng = np.random.default_rng(0)
     for i in range(2):
@@ -99,10 +126,28 @@ def bench_full(param_dtype: str = "bfloat16") -> dict:
 
     from isbfsar_tpu.ops.image import bgr_to_i420
 
-    source = SyntheticSource(640, 480)
-    frames = [bgr_to_i420(source.read()[1]) for _ in range(32)]
+    if trained:
+        # rendered humanoid stream: the trained detector must FIRE at 0.3
+        # (a procedural gradient would idle the pose/AR path and measure
+        # the cheaper no-detection program — not the product's job)
+        from isbfsar_tpu.train.posestack import render_motion_clip
+
+        bgr_source_frames, _ = render_motion_clip(
+            "wave", n_frames=32, frame_hw=(480, 640),
+            intrinsics=config.intrinsics, cycles=2.0)
+    else:
+        source = SyntheticSource(640, 480)
+        bgr_source_frames = [source.read()[1] for _ in range(32)]
+    frames = [bgr_to_i420(f) for f in bgr_source_frames]
+    fired = 0
     for f in frames[:20]:  # prime the AR window
-        pipe.step(f)
+        fired += int(pipe.decode(pipe.step(f)).get("pose") is not None)
+    if trained:
+        assert fired > 0, (
+            "trained headline: zero detections fired at the 0.3 gate over "
+            "20 rendered humanoid frames — bundle/weights regression")
+        print(f"[bench] trained gate receipt: {fired}/20 priming frames "
+              f"fired at yolo_thresh=0.3", file=sys.stderr)
 
     # synchronous per-frame latency (dispatch -> decoded elements)
     n = 100
@@ -160,14 +205,23 @@ def bench_full(param_dtype: str = "bfloat16") -> dict:
     from isbfsar_tpu.runtime.orchestrator import Orchestrator
 
     orch = Orchestrator(config, fused=pipe)
-    bgr_frames = [source.read()[1] for _ in range(32)]
+    bgr_frames = bgr_source_frames
     for f in bgr_frames:  # steady state (fills the 1-frame pipeline)
         orch.get_frame(img=f)
+    # serve-path submit->result latency (VERDICT r3 weak #9): the
+    # double-buffered loop returns frame i's elements at call i+1, so the
+    # latency an HRI integrator sees is end(call i+1) - submit(call i).
     n_serve = 100
+    submits, ends = [], []
     t0 = time.perf_counter()
     for i in range(n_serve):
+        submits.append(time.perf_counter())
         serve_elements = orch.get_frame(img=bgr_frames[i % 32])
+        ends.append(time.perf_counter())
     serve_fps = n_serve / (time.perf_counter() - t0)
+    serve_lat = [e - s for s, e in zip(submits[:-1], ends[1:])]
+    serve_lat_p50 = float(np.percentile(serve_lat, 50) * 1000)
+    serve_lat_p95 = float(np.percentile(serve_lat, 95) * 1000)
 
     # micro-batched serve surface (one put + one get per B frames — the
     # per-frame path is two-relay-RTT-bound at ~21 FPS through the relay;
@@ -189,11 +243,19 @@ def bench_full(param_dtype: str = "bfloat16") -> dict:
         orch.get_frame_batch(bgr_frames[:sb], overlap=True)
     t0 = time.perf_counter()
     got = 0
+    ov_submits, ov_ends = [], []
     for i in range(0, 96, sb):
+        ov_submits.append(time.perf_counter())
         got += len(orch.get_frame_batch(
             [bgr_frames[(i + j) % 32] for j in range(sb)], overlap=True
         ))
+        ov_ends.append(time.perf_counter())
     serve_overlap_fps = got / (time.perf_counter() - t0)
+    # overlapped batches return batch i at call i+1: submit->result spans
+    # one call boundary, shared by the batch's frames
+    ov_lat = [e - s for s, e in zip(ov_submits[:-1], ov_ends[1:])]
+    serve_overlap_p50 = float(np.percentile(ov_lat, 50) * 1000)
+    serve_overlap_p95 = float(np.percentile(ov_lat, 95) * 1000)
 
     print(
         f"[bench] fps={fps:.1f} (stream batch={batch}, median of "
@@ -211,6 +273,11 @@ def bench_full(param_dtype: str = "bfloat16") -> dict:
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / 30.0, 3),
+        # trained = the bundled production stack at the 0.3 gate on
+        # rendered humanoid frames (gate receipt = priming frames that
+        # fired); false = the --compute-only FLOPs-equivalence mode
+        "trained": trained,
+        "gate_fired_priming": fired if trained else None,
         # Distribution receipts (VERDICT round-1 item 5): the headline is a
         # median-of-3 stream trial; the spread and the synchronous-path tail
         # ride along so the JSON itself is honest about variance.
@@ -220,10 +287,17 @@ def bench_full(param_dtype: str = "bfloat16") -> dict:
         # live-service surface: overlapped orchestrator loop with the
         # host-side i420 encode in the timed region
         "serve_loop_fps": round(serve_fps, 2),
+        # submit->result latency of the double-buffered loop (frame i's
+        # elements return at call i+1 — the number an HRI budget compares
+        # against its 33 ms frame period)
+        "serve_loop_latency_p50_ms": round(serve_lat_p50, 1),
+        "serve_loop_latency_p95_ms": round(serve_lat_p95, 1),
         # micro-batched orchestrator serve (get_frame_batch, B=8)
         "serve_batched_fps": round(serve_batched_fps, 2),
         # batch-level double-buffered serve (overlap=True, B=8)
         "serve_batched_overlap_fps": round(serve_overlap_fps, 2),
+        "serve_overlap_latency_p50_ms": round(serve_overlap_p50, 1),
+        "serve_overlap_latency_p95_ms": round(serve_overlap_p95, 1),
         # stream_batched submit->result latency (includes pipeline delay)
         "stream_batched_latency_p50_ms": round(blat_p50, 1),
         "stream_batched_latency_p95_ms": round(blat_p95, 1),
@@ -350,6 +424,11 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", default="all",
                         choices=["all", "full", "ar", "fsos", "hpe", "focus"])
+    parser.add_argument("--compute-only", action="store_true",
+                        help="random-init weights at yolo_thresh=0 on "
+                             "procedural frames (the historical FLOPs-"
+                             "equivalence mode; default runs the bundled "
+                             "TRAINED production stack at the 0.3 gate)")
     parser.add_argument("--param-dtype", default="bfloat16",
                         choices=["float32", "bfloat16"],
                         help="fused-pipeline parameter storage dtype "
@@ -364,7 +443,7 @@ def main() -> None:
     _await_backend_or_die(args.init_timeout)
 
     benches = {
-        "full": lambda: bench_full(args.param_dtype),
+        "full": lambda: bench_full(args.param_dtype, args.compute_only),
         "ar": bench_ar,
         "fsos": bench_fsos,
         "hpe": bench_hpe,
@@ -378,7 +457,7 @@ def main() -> None:
     # BASELINE configs. Headline fields stay top-level (driver contract);
     # the per-module configs ride in "modules". A module bench that fails
     # must not take the headline down with it — record the error string.
-    result = bench_full(args.param_dtype)
+    result = bench_full(args.param_dtype, args.compute_only)
     modules = {}
     for name in ("ar", "fsos", "hpe", "focus"):
         try:

@@ -137,10 +137,18 @@ def main() -> None:
         )
         return metrics
 
+    def sync(metrics) -> float:
+        # Fetch a VALUE, not just block_until_ready: the relay backend's
+        # block_until_ready can return before execution actually completes
+        # (first sweep measured 439% MFU — physically impossible — with
+        # block-only sync; a data fetch forces the real barrier).
+        return float(np.asarray(jax.device_get(
+            jax.tree.leaves(metrics)[0])).sum())
+
     t0 = time.time()
     for _ in range(args.warmup):
         metrics = step()
-    jax.block_until_ready(metrics)
+    sync(metrics)
     print(f"[bench_train] warmup ({args.warmup} steps incl. compile): "
           f"{time.time() - t0:.1f}s", file=sys.stderr)
 
@@ -149,7 +157,7 @@ def main() -> None:
         t0 = time.time()
         for _ in range(args.block):
             metrics = step()
-        jax.block_until_ready(metrics)
+        sync(metrics)
         block_s.append((time.time() - t0) / args.block)
     med = float(np.median(block_s))
 
