@@ -140,6 +140,12 @@ class ARConfig:
     # (receipt: tests/test_train.py::test_remat_cuts_train_step_memory,
     # compiled memory_analysis). Numerically identical math, recomputed.
     remat: bool = False
+    # Causal One-Euro smoothing of the per-frame pose before it feeds the
+    # AR feature ring (ops/smooth.py; live twin of the offline extraction
+    # --smooth flag — train and serve must see the same distribution).
+    # Default OFF until the offline A/B receipt lands (docs/PERF.md
+    # "Temporal pose smoothing"); no effect in rgb mode (no pose consumer).
+    smooth_poses: bool = False
 
     @property
     def trans_linear_in_dim(self) -> int:

@@ -41,7 +41,8 @@ from typing import Dict
 
 import numpy as np
 
-__all__ = ["one_euro", "one_euro_init", "one_euro_step"]
+__all__ = ["one_euro", "one_euro_init", "one_euro_step",
+           "one_euro_gated_state", "one_euro_gated_step"]
 
 # Defaults tuned by sweep on rendered humanoid clips + the measured 0.045 m
 # white extraction noise (docs/PERF.md "Temporal pose smoothing"): frame
@@ -117,3 +118,42 @@ def one_euro_step(
     a = a.astype(jnp.float32)
     x_hat = a * x + (1.0 - a) * state["x"]
     return {"x": x_hat, "dx": dx_hat.astype(jnp.float32)}, x_hat
+
+
+def one_euro_gated_state(shape) -> Dict:
+    """Zero-initialized gated-filter state for the fused pipeline's carried
+    StreamState (static shapes, jit-safe). ``init`` latches on the first
+    good frame — until then the filter passes inputs through unchanged."""
+    import jax.numpy as jnp
+
+    return {
+        "x": jnp.zeros(shape, jnp.float32),
+        "dx": jnp.zeros(shape, jnp.float32),
+        "init": jnp.zeros((), bool),
+    }
+
+
+def one_euro_gated_step(state: Dict, x, ok, **kw):
+    """One causal tick that only ingests GOOD observations.
+
+    ``ok=False`` frames leave the filter state untouched and return ``x``
+    unfiltered (the fused pipeline's pose_ok gate: a no-detection frame's
+    zero pose must not pollute the motion estimate — it is also never
+    pushed into the AR window). The first good frame passes through
+    unchanged: with ``state.x == x`` the update reduces to
+    ``x_hat = a*x + (1-a)*x = x`` and ``dx = 0``, matching
+    :func:`one_euro`'s first-sample semantics exactly."""
+    import jax.numpy as jnp
+
+    x = jnp.asarray(x, jnp.float32)
+    prev = {
+        "x": jnp.where(state["init"], state["x"], x),
+        "dx": jnp.where(state["init"], state["dx"], 0.0),
+    }
+    new, x_hat = one_euro_step(prev, x, **kw)
+    out_state = {
+        "x": jnp.where(ok, new["x"], state["x"]),
+        "dx": jnp.where(ok, new["dx"], state["dx"]),
+        "init": jnp.logical_or(state["init"], ok),
+    }
+    return out_state, jnp.where(ok, x_hat, x)

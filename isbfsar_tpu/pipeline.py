@@ -45,6 +45,10 @@ class StreamState(NamedTuple):
 
     window: jnp.ndarray  # (seq_len, trans_linear_in_dim) per-frame feature ring
     n_valid: jnp.ndarray  # () int32 — filled frames in the window
+    # One-Euro pose-filter state (ops/smooth.py) when ARConfig.smooth_poses;
+    # empty tuple otherwise — a pytree leaf-free placeholder, so programs
+    # without the filter carry no extra buffers
+    smooth: Any = ()
 
 
 class _Layout:
@@ -232,9 +236,15 @@ class FusedPipeline:
 
     def init_state(self) -> StreamState:
         cfg = self.config.ar
+        smooth = ()
+        if cfg.smooth_poses and self.input_type != "rgb":
+            from isbfsar_tpu.ops.smooth import one_euro_gated_state
+
+            smooth = one_euro_gated_state((cfg.n_joints, 3))
         return StreamState(
             window=jnp.zeros((cfg.seq_len, cfg.trans_linear_in_dim), jnp.float32),
             n_valid=jnp.zeros((), jnp.int32),
+            smooth=smooth,
         )
 
     def _params(self) -> Dict[str, Any]:
@@ -301,6 +311,17 @@ class FusedPipeline:
         distance = jnp.linalg.norm(pose[0]) * 2.5  # reference main.py:102
         rel_pose = pose - pose[0]
 
+        # causal One-Euro pose smoothing (ARConfig.smooth_poses): the live
+        # twin of the extraction-side --smooth — good frames tick the
+        # filter, no-detection frames leave it untouched (they never enter
+        # the AR window either)
+        smooth_state = state.smooth
+        if self.config.ar.smooth_poses and self.input_type != "rgb":
+            from isbfsar_tpu.ops.smooth import one_euro_gated_step
+
+            smooth_state, rel_pose = one_euro_gated_step(
+                smooth_state, rel_pose, pose_ok)
+
         # per-frame feature (embedded once, on entry to the ring)
         kwargs = {}
         if self.input_type in ("skeleton", "hybrid"):
@@ -343,7 +364,8 @@ class FusedPipeline:
             "is_true": is_true,
             "ar_ready": ar_ready,
         }
-        return values, StreamState(window=window, n_valid=n_valid)
+        return values, StreamState(window=window, n_valid=n_valid,
+                                   smooth=smooth_state)
 
     def _step_impl(self, params, frame, support_kv, state, support_mask):
         """frame: (H, W, 3) uint8 BGR or (H*3/2, W) uint8 I420;
@@ -406,6 +428,18 @@ class FusedPipeline:
         distance = jnp.linalg.norm(pose[:, 0], axis=-1) * 2.5
         rel_pose = pose - pose[:, :1]
 
+        # causal pose smoothing BEFORE the (batched) embedding: the filter
+        # recurrence is a trivially cheap (J, 3) scan, so running it as a
+        # separate pre-pass keeps the heavy per-frame convs/MLPs batched on
+        # the MXU — sequential-identical to _step_impl's per-frame tick
+        smooth_state = state.smooth
+        if self.config.ar.smooth_poses and self.input_type != "rgb":
+            from isbfsar_tpu.ops.smooth import one_euro_gated_step
+
+            smooth_state, rel_pose = jax.lax.scan(
+                lambda st, inp: one_euro_gated_step(st, inp[0], inp[1]),
+                smooth_state, (rel_pose, pose_ok))
+
         # per-frame features, batched over the B frames
         def frame_feature(frame, rel, box):
             kwargs = {}
@@ -428,10 +462,14 @@ class FusedPipeline:
             pushed = jnp.concatenate([st.window[1:], feat[None]], axis=0)
             window = jnp.where(ok, pushed, st.window)
             n_valid = jnp.where(ok, jnp.minimum(st.n_valid + 1, cfg.seq_len), st.n_valid)
-            new = StreamState(window=window, n_valid=n_valid)
+            # _replace: the carry must keep the SAME pytree structure
+            # (the smooth field rides through unchanged inside the scan;
+            # its final value was already computed by the pre-pass)
+            new = st._replace(window=window, n_valid=n_valid)
             return new, (window, n_valid)
 
         state, (windows, n_valids) = jax.lax.scan(scan_body, state, (features, pose_ok))
+        state = state._replace(smooth=smooth_state)
 
         # batched AR match: all B windows against the shared cached K/V
         s_k, s_v = support_kv

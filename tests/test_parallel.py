@@ -16,6 +16,7 @@ def test_dp_step_matches_single_device():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2 virtual devices")
+@pytest.mark.slow  # ~76 s
 def test_dp_step_matches_single_device_rgb_batchnorm():
     """The NON-vacuous stats certificate (VERDICT r2 weak #1/missing #3):
     the rgb trainer's ResNet-50 carries functional BatchNorm — per-device
@@ -65,6 +66,7 @@ def test_tp_step_matches_single_device():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow  # ~116 s
 def test_sp_step_matches_single_device():
     """Sequence-parallel training over a dp4 x sp2 mesh: every clip's TIME
     axis sharded over 'sp' on top of the dp batch sharding, so each device
@@ -84,6 +86,7 @@ def test_sp_step_matches_single_device():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow  # ~126 s
 def test_sp_hybrid_modality():
     """sp certified on the HYBRID modality (the reference's full config:
     rgb extractor + per-frame skeleton MLP, concatenated per frame —
@@ -99,6 +102,7 @@ def test_sp_hybrid_modality():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow  # ~167 s
 def test_sp_composes_with_fsdp():
     """The documented sp+ZeRO composition: params + optimizer state split
     over 'dp' (shard_params_fsdp) while batches shard over BOTH mesh axes
@@ -113,6 +117,7 @@ def test_sp_composes_with_fsdp():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow  # ~339 s
 def test_sp_composes_with_remat():
     """sp + activation remat together: per-block jax.checkpoint inside the
     sp-sharded ResNet applies (ARConfig.remat) on the n-device side only,
@@ -129,6 +134,7 @@ def test_sp_composes_with_remat():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow  # ~88 s
 def test_sp_cuts_per_device_flops():
     """The compiler's own receipt that sequence parallelism divides
     per-device work: for the SAME global batch, the compiled (post-GSPMD,

@@ -154,6 +154,7 @@ class TestPrefetch:
 
 
 class TestGraftEntry:
+    @pytest.mark.slow  # ~16 min: the full dryrun composition matrix + multihost
     def test_dryrun_multichip_8(self):
         import __graft_entry__ as ge
 

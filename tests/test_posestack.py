@@ -104,6 +104,7 @@ class TestSyntheticHumanoid:
         for a, b, r in HUMANOID_EDGES:
             assert 0 <= a < 32 and 0 <= b < 32 and r > 0
 
+    @pytest.mark.slow  # ~61 s
     def test_warm_start_resumes_training(self):
         """init_params continues from a previous run's weights (resume /
         budget extension for the 20+ min production runs)."""

@@ -199,6 +199,7 @@ class TestVisualizer:
 
 
 class TestLiveServiceIntegration:
+    @pytest.mark.slow  # ~156 s
     def test_threaded_service_add_command_no_deadlock(self, orchestrator):
         """Full source->hub->orchestrator loop with a live `add` command.
 

@@ -68,6 +68,47 @@ class TestOneEuro:
             np.sum(dev_t * dev_t), 1e-9))
         assert slope > 0.8, slope
 
+    def test_gated_step_all_ok_matches_sequence(self, rng):
+        """With every frame good, the gated live step must reproduce the
+        offline sequence filter exactly (train/serve distribution parity —
+        the reason ARConfig.smooth_poses exists)."""
+        import jax.numpy as jnp
+
+        xs = rng.normal(size=(16, 30, 3)).astype(np.float32)
+        want = smooth.one_euro(xs)
+        state = smooth.one_euro_gated_state((30, 3))
+        got = []
+        for t in range(16):
+            state, x_hat = smooth.one_euro_gated_step(
+                state, jnp.asarray(xs[t]), jnp.asarray(True))
+            got.append(np.asarray(x_hat))
+        np.testing.assert_allclose(np.stack(got), want, atol=1e-5)
+
+    def test_gated_step_skips_bad_frames(self, rng):
+        """not-ok frames: state untouched, input passed through raw, and
+        the filter resumes from the last good state."""
+        import jax.numpy as jnp
+
+        xs = rng.normal(size=(8, 4)).astype(np.float32)
+        state = smooth.one_euro_gated_state((4,))
+        state, _ = smooth.one_euro_gated_step(state, xs[0], jnp.asarray(True))
+        saved = {k: np.asarray(v) for k, v in state.items()}
+        garbage = jnp.zeros(4)
+        state, out = smooth.one_euro_gated_step(state, garbage, jnp.asarray(False))
+        np.testing.assert_allclose(np.asarray(out), np.zeros(4))  # raw passthrough
+        for k in saved:
+            np.testing.assert_allclose(np.asarray(state[k]), saved[k])
+
+    def test_gated_first_frame_passthrough(self, rng):
+        import jax.numpy as jnp
+
+        x0 = rng.normal(size=(5,)).astype(np.float32)
+        state = smooth.one_euro_gated_state((5,))
+        state, out = smooth.one_euro_gated_step(state, jnp.asarray(x0),
+                                                jnp.asarray(True))
+        np.testing.assert_allclose(np.asarray(out), x0, atol=1e-6)
+        assert bool(state["init"])
+
     def test_step_in_jit(self, rng):
         """The jnp step must trace under jit with carried state."""
         import jax

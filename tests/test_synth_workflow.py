@@ -132,6 +132,7 @@ class TestWorkdirFingerprint:
 
 
 class TestFullOfflineLoop:
+    @pytest.mark.slow  # ~204 s (TRX train runs every time)
     def test_render_extract_train_fsos(self):
         """The capstone: every offline stage chained, scored on held-out
         classes. Budgets match tools/synth_workflow.py's CI defaults."""

@@ -391,6 +391,7 @@ class TestRGBTrainer:
 
 
 class TestRemat:
+    @pytest.mark.slow  # ~80 s
     def test_remat_cuts_train_step_memory(self, rng, tmp_path):
         """ARConfig.remat rematerializes the rgb extractor PER residual
         block: the bytes jax saves for the backward pass (saved_residuals
