@@ -373,7 +373,6 @@ def main() -> None:
             ACTION_TRAIN_CLASSES,
         )
 
-        assert args.pose_params, "--production requires --pose-params"
         # production trains TRX on the EXTENDED 16-class library (the CI
         # default is the 8-class base set — suite cost): class diversity is
         # the open-set discriminator's training signal, and the extras
@@ -397,6 +396,12 @@ def main() -> None:
 
         with open(args.pose_params, "rb") as f:
             pose_params = serialization.msgpack_restore(f.read())
+    elif args.production:
+        # the bundled production fit (isbfsar_tpu.pretrained 'pose-prod-256';
+        # trains once via the params cache when the bundle is absent)
+        from isbfsar_tpu.train.posestack import prod_pose_params
+
+        pose_params = prod_pose_params()
     else:
         from isbfsar_tpu.train.posestack import diverse_pose_params_256
 
