@@ -80,6 +80,13 @@ def _specs() -> Dict[str, Spec]:
             "trained on exact-projective synthetic faces; passes the "
             "absolute far-branch yaw thresholds in tests/test_gazefocus.py.",
         ),
+        "pose-prod-256": Spec(
+            ps._PROD_KEY_V[1], ps._PROD_KEY_V[0], ps.prod_pose_params,
+            "PRODUCTION pose stack (full-width YOLOv4 @ 256 + EffNetV2-L "
+            "@ 256 crop, 480x640 frames, diverse pose distribution, bf16 "
+            "trunk storage): the trained operating point bench.py's "
+            "headline and the --production offline AR workflow run.",
+        ),
     }
 
 

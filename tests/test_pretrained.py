@@ -24,7 +24,7 @@ class TestBundle:
         fresh = pretrained.verify()
         assert set(fresh) == {
             "pose-ci-motions", "pose-ci-diverse", "pose-diverse-256",
-            "focus-ci",
+            "focus-ci", "pose-prod-256",
         }
         for digest in fresh.values():
             assert os.path.exists(
