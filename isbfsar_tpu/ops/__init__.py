@@ -22,4 +22,11 @@ from isbfsar_tpu.ops.softargmax import (  # noqa: F401
     split_head_logits,
 )
 from isbfsar_tpu.ops.tuples import frame_tuples, n_tuples  # noqa: F401
+from isbfsar_tpu.ops.smooth import (  # noqa: F401
+    one_euro,
+    one_euro_gated_state,
+    one_euro_gated_step,
+    one_euro_init,
+    one_euro_step,
+)
 from isbfsar_tpu.ops.warp import warp_image, warp_image_bilinear  # noqa: F401
