@@ -49,6 +49,13 @@ def main() -> None:
                              "dispatch frame i while decoding frame i-1 — "
                              "~2x the serve-loop FPS through a remote-"
                              "attached chip at one frame of added lag")
+    parser.add_argument("--weights", default="auto",
+                        choices=["auto", "pretrained", "random"],
+                        help="pose-stack weights: 'pretrained' loads the "
+                             "bundled production fit (pose-prod-256), "
+                             "'random' keeps fresh init (pair with "
+                             "--yolo-thresh 0.0), 'auto' (default) loads "
+                             "the bundle when present")
     parser.add_argument("--param-dtype", default="bfloat16",
                         choices=["float32", "bfloat16"],
                         help="fused-path parameter storage: bfloat16 casts "
@@ -76,13 +83,31 @@ def main() -> None:
         config = dataclasses.replace(
             config, hpe=dataclasses.replace(config.hpe, yolo_thresh=args.yolo_thresh)
         )
+    hpe = None
+    if args.weights != "random":
+        try:
+            from isbfsar_tpu import pretrained
+            from isbfsar_tpu.hpe.estimator import HumanPoseEstimator
+
+            prod = pretrained.load("pose-prod-256")
+            cam_shape = (config.main.cam_height, config.main.cam_width)
+            hpe = HumanPoseEstimator(config.hpe, config.intrinsics,
+                                     params=prod, frame_shape=cam_shape)
+            print("[isbfsar-tpu] pose stack: bundled pose-prod-256 "
+                  f"(gate {config.hpe.yolo_thresh})")
+        except KeyError:
+            if args.weights == "pretrained":
+                raise
+            print("[isbfsar-tpu] pose stack: bundle absent -> random init "
+                  "(pass --yolo-thresh 0.0 for smoke runs)")
     fused = None
     if args.fused:
         from isbfsar_tpu.pipeline import FusedPipeline
 
         assert args.input_type == "skeleton", "--fused requires skeleton mode"
-        fused = FusedPipeline(config, with_focus=True, input_format=args.transport)
-    orch = Orchestrator(config, in_queue=in_q, out_queue=out_q,
+        fused = FusedPipeline(config, hpe=hpe, with_focus=True,
+                              input_format=args.transport)
+    orch = Orchestrator(config, in_queue=in_q, out_queue=out_q, hpe=hpe,
                         save_dir=args.save_dir, fused=fused,
                         fused_overlap=not args.no_overlap)
     print("[isbfsar-tpu] warming up device programs...")

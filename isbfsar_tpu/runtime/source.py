@@ -118,12 +118,48 @@ class RealSenseSource:
         self.pipeline.stop()
 
 
+class HumanoidSource:
+    """Rendered humanoid demo stream — a camera-free source the TRAINED
+    pose stack actually detects at the 0.3 gate (the procedural
+    SyntheticSource's moving square does not clear a trained detector).
+    Cycles through rendered motion clips (train/posestack.py renderer);
+    ``motions`` rotates every ``frames_per_motion`` frames so a live drive
+    exercises acquisition on distinct actions."""
+
+    def __init__(self, width: int = 640, height: int = 480,
+                 motions=("wave", "squat", "walk"),
+                 frames_per_motion: int = 160, fps: float = 30.0):
+        from isbfsar_tpu.configs import CameraIntrinsics
+        from isbfsar_tpu.train.posestack import render_motion_clip
+
+        self.width, self.height, self.fps = width, height, fps
+        self._intr = CameraIntrinsics(width=width, height=height)
+        self._clips = []
+        for m in motions:
+            frames, _ = render_motion_clip(
+                m, n_frames=32, frame_hw=(height, width),
+                intrinsics=self._intr, cycles=2.0)
+            self._clips.append(frames)
+        self._fpm = frames_per_motion
+        self._i = 0
+
+    def read(self):
+        clip = self._clips[(self._i // self._fpm) % len(self._clips)]
+        frame = clip[self._i % len(clip)]
+        self._i += 1
+        return True, frame
+
+    def intrinsics(self):
+        return self._intr
+
+
 def make_source(kind: str, **kw):
     return {
         "synthetic": SyntheticSource,
         "video": VideoSource,
         "webcam": WebcamSource,
         "realsense": RealSenseSource,
+        "humanoid": HumanoidSource,
     }[kind](**kw)
 
 

@@ -38,7 +38,8 @@ def main() -> None:
                         help="TCP hub host, or 'shm' for the same-host "
                              "native shared-memory transport")
     parser.add_argument("--source", default="synthetic",
-                        choices=["synthetic", "video", "webcam", "realsense"])
+                        choices=["synthetic", "video", "webcam", "realsense",
+                                 "humanoid"])
     parser.add_argument("--path", default=None, help="video file for --source video")
     parser.add_argument("--max-frames", type=int, default=None)
     parser.add_argument("--gui", action="store_true",
