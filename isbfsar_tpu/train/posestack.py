@@ -1198,15 +1198,20 @@ def diverse_pose_params():
 # Production operating point (tools/synth_workflow.py --production, bench.py
 # trained headline): full-width YOLOv4 @ 256 with EffNetV2-L @ 256 crop on
 # 480x640 frames — the reference's model sizes (utils/params.py yolo/bbone
-# engines). pose_mode="diverse": a motions-only fit collapses out-of-
-# distribution limb placements (see diverse_pose_params), and the production
-# workflow extracts 23 action classes. Budgets double the round-3 pose_prod3
-# pose phase (extraction noise was the named accuracy ceiling) with the
-# extraction-grade tight huber.
+# engines).
+#
+# pose_mode="motions" — a MEASURED choice (round 4, docs/PERF.md "Production
+# fit recipe"): a diverse-mode production fit at 300 det + 600 pose steps
+# evaluated at IoU 0.43 / abs 0.90 m / empty-FP 0.7 and collapsed the
+# offline workflow to FS 0.36 — the diverse distribution needs CI-scale
+# budgets (700 det + 6000 pose at 1/16 the pixel cost) that cost hours at
+# production size. The motions distribution at this budget reproduces the
+# round-3 pose_prod3 operating point (IoU 0.68 / abs 0.16 m / FS 0.685)
+# with double the pose budget against the extraction-noise ceiling.
 PROD_FRAME_HW = (480, 640)
 PROD_BUDGETS = dict(n_steps_det=300, n_steps_pose=600, batch_size=8,
                     crop_size=256, seed=3, pose_huber_beta=0.02,
-                    pose_mode="diverse")
+                    pose_mode="motions")
 
 _PROD_KEY_V = ("1", lambda: (
     f"posestack-prod256:{CameraIntrinsics()!r}:{PROD_FRAME_HW!r}:"
