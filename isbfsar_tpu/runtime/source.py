@@ -152,6 +152,9 @@ class HumanoidSource:
     def intrinsics(self):
         return self._intr
 
+    def stop(self) -> None:
+        pass
+
 
 def make_source(kind: str, **kw):
     return {

@@ -77,6 +77,21 @@ def orchestrator():
     )
 
 
+class TestHumanoidSource:
+    def test_reads_and_rotates_motions(self):
+        from isbfsar_tpu.runtime.source import HumanoidSource, make_source
+
+        src = make_source("humanoid", width=160, height=120,
+                          motions=("wave", "squat"), frames_per_motion=3)
+        frames = [src.read()[1] for _ in range(8)]
+        assert all(f.shape == (120, 160, 3) and f.dtype == np.uint8
+                   for f in frames)
+        # motion rotation: frame 0 (wave clip) differs from frame 3 (squat)
+        assert not np.array_equal(frames[0], frames[3])
+        src.stop()
+        assert src.intrinsics().width == 160
+
+
 class TestOrchestrator:
     def test_get_frame_elements_contract(self, orchestrator):
         src = SyntheticSource(FRAME_SHAPE[1], FRAME_SHAPE[0])
