@@ -142,9 +142,9 @@ class TestExtraction:
 
         orig = xd.extract_clip
 
-        def tracking_extract(est, video_path, n_frames, with_images):
+        def tracking_extract(est, video_path, n_frames, with_images, **kw):
             calls.append(int(os.path.basename(video_path)[4]))
-            return orig(est, video_path, n_frames, with_images)
+            return orig(est, video_path, n_frames, with_images, **kw)
 
         out = str(tmp_path / "tree")
         try:
