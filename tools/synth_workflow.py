@@ -130,7 +130,7 @@ def run_workflow(
     batch_size: int = 8,
     fsos_repeats: int = 5,
     z_range: Tuple[float, float] = (1.8, 2.4),
-    smooth: bool = False,
+    smooth: bool = True,
     seed: int = 0,
     log: bool = True,
 ) -> Dict:
@@ -354,10 +354,13 @@ def main() -> None:
     parser.add_argument("--n-task", type=int, default=160)
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--repeats", type=int, default=5)
-    parser.add_argument("--smooth", action="store_true",
+    parser.add_argument("--smooth", action=argparse.BooleanOptionalAction,
+                        default=True,
                         help="causal One-Euro smoothing of extracted pose "
-                             "sequences (ops/smooth.py) — the accuracy "
-                             "lever against per-frame extraction noise")
+                             "sequences (ops/smooth.py) — DEFAULT ON: every "
+                             "receipt improves with it (docs/PERF.md "
+                             "'Temporal pose smoothing'); --no-smooth for "
+                             "the raw baseline")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
 
