@@ -344,3 +344,26 @@ def test_way_sharded_match_tracks_support_edits():
     ar.remove("a0")
     probs3, _ = matcher.match_window(window)
     assert set(probs3) == {"exact_match"}
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_put_global_single_process_fast_path():
+    """put_global (parallel/mesh.py) must take the plain device_put path on
+    single-process meshes and produce the same sharded array the explicit
+    callback path would — the multi-controller path itself is certified by
+    tests/test_multihost.py's real 2-process run."""
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from isbfsar_tpu.parallel.mesh import make_mesh, put_global
+
+    mesh = make_mesh(8)
+    x = np.arange(8 * 6, dtype=np.float32).reshape(8, 6)
+    sh = NamedSharding(mesh, P("dp"))
+    got = put_global(x, sh)
+    assert got.sharding == sh
+    assert len(got.addressable_shards) == 8
+    np.testing.assert_array_equal(np.asarray(got), x)
+    # replicated spec works through the same helper
+    rep = put_global(x, NamedSharding(mesh, P()))
+    np.testing.assert_array_equal(np.asarray(rep), x)
