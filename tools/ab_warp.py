@@ -106,14 +106,14 @@ def _build_fused(rng, param_dtype: str):
 def interleaved_times(progs: Dict[str, Dict[str, Any]], n_blocks: int,
                       block: int) -> None:
     """Time every program in rotating round-robin blocks; fill rows."""
-    import jax
+    from tools.roofline import _fetch_sync
 
     names = list(progs)
     for name in names:  # warmup all first: no compile inside the timing
         out = None
         for _ in range(3):
             out = progs[name]["fn"]()
-        jax.block_until_ready(out)
+        _fetch_sync(out)
     times: Dict[str, List[float]] = {n: [] for n in names}
     for i in range(n_blocks):
         order = names[i % len(names):] + names[:i % len(names)]
@@ -123,7 +123,7 @@ def interleaved_times(progs: Dict[str, Dict[str, Any]], n_blocks: int,
             out = None
             for _ in range(block):
                 out = fn()
-            jax.block_until_ready(out)
+            _fetch_sync(out)
             times[name].append((time.perf_counter() - t0) / block)
     for name in names:
         per_call = progs[name].get("calls_per_item", 1)

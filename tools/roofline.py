@@ -50,23 +50,46 @@ def cost_of(compiled) -> Dict[str, float]:
     }
 
 
+def _fetch_sync(out) -> None:
+    """Force REAL completion by fetching a few bytes of one output leaf.
+
+    Two relay pathologies make `block_until_ready` untrustworthy as a
+    timing barrier (measured, docs/PERF.md "Sync gotcha"): (1) it can
+    return before execution completes (bench_train first read 439% MFU);
+    (2) a loop of IDENTICAL (fn, args) dispatches block-synced at 0.022 ms
+    for a 34-GFLOP matmul — physically impossible — while the chained
+    variant read 1.7 ms. A small data fetch is the only barrier that
+    survives both; fetching ~8 floats costs well under 0.1 ms amortized
+    over a block."""
+    import jax
+
+    leaves = jax.tree.leaves(out)
+    x = leaves[0]
+    if hasattr(x, "reshape"):
+        # slice ON DEVICE first — np.asarray(whole) would fetch the full
+        # buffer (a 16 MB D2H for a 2048x2048 f32, ~0.5 s on a loaded relay)
+        np.asarray(x.reshape(-1)[:8])
+    else:
+        np.asarray(x)
+
+
 def device_time(fn: Callable[[], Any], n_blocks: int, block: int,
                 warmup: int = 5) -> Dict[str, float]:
     """Amortized per-call seconds: median and min over interleaved blocks of
-    `block` queued dispatches (one sync per block). The min is the device-
-    time receipt — back-to-back queued programs leave no host gap, and the
-    min strips shared-relay load spikes (docs/PERF.md relay cost model)."""
-    import jax
-
+    `block` queued dispatches (ONE data-fetch sync per block — see
+    _fetch_sync; block_until_ready is not a faithful barrier on the relay).
+    The min is the device-time receipt — back-to-back queued programs leave
+    no host gap, and the min strips shared-relay load spikes (docs/PERF.md
+    relay cost model)."""
     for _ in range(warmup):
         out = fn()
-    jax.block_until_ready(out)
+    _fetch_sync(out)
     times = []
     for _ in range(n_blocks):
         t0 = time.perf_counter()
         for _ in range(block):
             out = fn()
-        jax.block_until_ready(out)
+        _fetch_sync(out)
         times.append((time.perf_counter() - t0) / block)
     return {"median_s": float(np.median(times)), "min_s": float(np.min(times))}
 
