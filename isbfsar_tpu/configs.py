@@ -216,9 +216,11 @@ class PipelineConfig:
     # (default, round 4) halves the weight HBM traffic — at batch 1 every
     # weight byte is read once per frame, so this targets the serving
     # path's dominant device-memory term (compute already runs bf16 on the
-    # MXU; see docs/PERF.md "Precision decisions"). Measured on-chip:
-    # fused_step 6.16 -> 4.24 ms/frame (io bytes 782 -> 419 MB,
-    # docs/ROOFLINE_r4*.json), batch-16 unchanged (weights amortize);
+    # MXU; see docs/PERF.md "Precision decisions"). Measured on-chip
+    # (fetch-synced receipts, docs/ROOFLINE_r4_fetch_*.json): fused_step
+    # 4.47 -> 4.09 ms/frame — the 363 MB weight-byte cut at HBM bandwidth,
+    # matching the model's 0.44 ms prediction; batch-16 unchanged
+    # (weights amortize);
     # accuracy deltas on the trained CI nets are decision-identical and
     # pose deltas sub-noise (tests/test_param_dtype.py — the receipt that
     # justified flipping the default). "float32" keeps full storage
