@@ -26,16 +26,30 @@ import time
 import numpy as np
 
 
-def _bench_loop(fn, n: int = 100, warmup: int = 5):
+def _sync(out) -> None:
+    """Data-fetch barrier (8 device-sliced elements of one leaf):
+    block_until_ready is not a faithful barrier on the relay — it can
+    return early AND short-circuits loops of identical dispatches
+    (docs/PERF.md 'Sync gotcha' + 'Sync addendum'). The streaming/serve
+    paths always fetched real results; these fixed-args module loops must
+    too."""
     import jax
 
+    x = jax.tree.leaves(out)[0]
+    if hasattr(x, "reshape"):
+        np.asarray(x.reshape(-1)[:8])
+    else:
+        np.asarray(x)
+
+
+def _bench_loop(fn, n: int = 100, warmup: int = 5):
     for _ in range(warmup):
         out = fn()
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn()
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / n
 
 
@@ -45,17 +59,15 @@ def _bench_blocks(fn, n_blocks: int = 5, block: int = 100, warmup: int = 5):
     The min filters relay-load spikes (docs/PERF.md: shared-relay variance
     is the dominant noise term) — it is the device-time receipt that
     settles host-vs-device attribution questions (VERDICT r2 weak #5)."""
-    import jax
-
     for _ in range(warmup):
         out = fn()
-    jax.block_until_ready(out)
+    _sync(out)
     times = []
     for _ in range(n_blocks):
         t0 = time.perf_counter()
         for _ in range(block):
             out = fn()
-        jax.block_until_ready(out)
+        _sync(out)
         times.append((time.perf_counter() - t0) / block)
     return float(np.median(times)), float(np.min(times))
 
