@@ -143,9 +143,11 @@ class ARConfig:
     # Causal One-Euro smoothing of the per-frame pose before it feeds the
     # AR feature ring (ops/smooth.py; live twin of the offline extraction
     # --smooth flag — train and serve must see the same distribution).
-    # Default OFF until the offline A/B receipt lands (docs/PERF.md
-    # "Temporal pose smoothing"); no effect in rgb mode (no pose consumer).
-    smooth_poses: bool = False
+    # Default ON since the production receipt landed (docs/PERF.md
+    # "Temporal pose smoothing": CI A/B lifts every FSOS metric, production
+    # capstone FS 0.953 smoothed; the offline workflow defaults smooth=True
+    # so live must match). No effect in rgb mode (no pose consumer).
+    smooth_poses: bool = True
 
     @property
     def trans_linear_in_dim(self) -> int:

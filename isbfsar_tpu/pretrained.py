@@ -83,9 +83,11 @@ def _specs() -> Dict[str, Spec]:
         "pose-prod-256": Spec(
             ps._PROD_KEY_V[1], ps._PROD_KEY_V[0], ps.prod_pose_params,
             "PRODUCTION pose stack (full-width YOLOv4 @ 256 + EffNetV2-L "
-            "@ 256 crop, 480x640 frames, diverse pose distribution, bf16 "
-            "trunk storage): the trained operating point bench.py's "
-            "headline and the --production offline AR workflow run.",
+            "@ 256 crop, 480x640 frames, MOTIONS pose distribution — the "
+            "measured production recipe, docs/PERF.md 'Production fit "
+            "recipe' — bf16 trunk storage): the trained operating point "
+            "bench.py's headline and the --production offline AR workflow "
+            "run.",
         ),
     }
 

@@ -102,10 +102,15 @@ class MultiStreamPipeline:
         self._support_kv = jax.device_put(self.pipe._support_kv, self._support_sharding)
         self._support_mask = jax.device_put(self.pipe._support_mask, self._support_sharding)
         single = self.pipe.init_state()
+        tile = lambda x: jnp.tile(x[None], (self.n_streams,) + (1,) * jnp.ndim(x))
         self._states = jax.device_put(
             StreamState(
-                window=jnp.tile(single.window[None], (self.n_streams, 1, 1)),
-                n_valid=jnp.tile(single.n_valid[None], (self.n_streams,)),
+                window=tile(single.window),
+                n_valid=tile(single.n_valid),
+                # One-Euro filter state per stream (ARConfig.smooth_poses,
+                # default ON): each stream carries its own causal filter —
+                # an empty tuple when the pipe runs unfiltered (rgb mode)
+                smooth=jax.tree.map(tile, single.smooth),
             ),
             self._stream_sharding,
         )

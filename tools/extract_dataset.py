@@ -154,9 +154,13 @@ def main() -> None:
     parser.add_argument("--out", required=True)
     parser.add_argument("--n-frames", type=int, default=16)
     parser.add_argument("--with-images", action="store_true")
-    parser.add_argument("--smooth", action="store_true",
+    parser.add_argument("--smooth", action=argparse.BooleanOptionalAction,
+                        default=True,
                         help="causal One-Euro smoothing of each clip's "
-                             "pose sequence (ops/smooth.py)")
+                             "pose sequence (ops/smooth.py) — DEFAULT ON, "
+                             "matching the live ARConfig.smooth_poses "
+                             "default and tools/synth_workflow.py; "
+                             "--no-smooth for the raw baseline")
     parser.add_argument("--checkpoint", default=None, help="HPE params msgpack")
     args = parser.parse_args()
 

@@ -34,6 +34,13 @@ def main() -> None:
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--log-every", type=int, default=20)
+    parser.add_argument("--lr-det", type=float, default=1e-3,
+                        help="detector learning rate; drop to ~1e-4 for a "
+                             "warm-started fine-tune — the full-rate "
+                             "default destroys a converged fit's "
+                             "localization (docs/PERF.md 'Empty-scene FP "
+                             "fine-tune')")
+    parser.add_argument("--lr-pose", type=float, default=1e-3)
     parser.add_argument("--empty-frac", type=float, default=0.12,
                         help="fraction of person-free training scenes "
                              "(raise to suppress empty-scene false positives)")
@@ -109,6 +116,7 @@ def main() -> None:
             batch_size=args.batch, seed=args.seed, log_every=args.log_every,
             init_params=init_params, empty_frac=args.empty_frac,
             pose_mode=args.pose_mode, remat=args.remat,
+            lr_det=args.lr_det, lr_pose=args.lr_pose,
             **kw,
         )
         print(f"[train_posestack] trained in {time.time() - t0:.0f}s")
