@@ -89,6 +89,24 @@ def _specs() -> Dict[str, Spec]:
             "bench.py's headline and the --production offline AR workflow "
             "run.",
         ),
+        "pose-prod-256-calib": Spec(
+            ps._PROD_CALIB_KEY_V[1], ps._PROD_CALIB_KEY_V[0],
+            ps.prod_detector_calib_delta,
+            "Empty-scene calibration DELTA for pose-prod-256: the YOLO "
+            "branch alone, fine-tuned on hard person-free scenes "
+            "(disarticulated limb clutter) to kill the base fit's 0.7 "
+            "empty-scene FP rate (train/posestack.py finetune_detector; "
+            "receipts in docs/PERF.md 'Empty-scene FP fine-tune'). "
+            "Loaded merged over the base by prod_pose_params_calib().",
+        ),
+        "pose-ci-calib": Spec(
+            ps._CI_CALIB_KEY_V[1], ps._CI_CALIB_KEY_V[0],
+            ps.ci_detector_calib_delta,
+            "Empty-scene calibration delta for pose-ci-motions (same "
+            "recipe at the CI operating point): hard-empty FP 15/15 -> "
+            "5/15 with person found-rate/IoU unharmed — the fixture "
+            "tests/test_posestack.py::TestDetectorCalibration pins.",
+        ),
     }
 
 

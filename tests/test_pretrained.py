@@ -24,7 +24,8 @@ class TestBundle:
         fresh = pretrained.verify()
         assert set(fresh) == {
             "pose-ci-motions", "pose-ci-diverse", "pose-diverse-256",
-            "focus-ci", "pose-prod-256",
+            "focus-ci", "pose-prod-256", "pose-prod-256-calib",
+            "pose-ci-calib",
         }
         for digest in fresh.values():
             assert os.path.exists(
