@@ -97,7 +97,9 @@ def bench_full(param_dtype: str = "bfloat16", compute_only: bool = False) -> dic
         try:
             from isbfsar_tpu import pretrained
 
-            prod = pretrained.load("pose-prod-256")
+            # base fit + empty-scene calibration delta (docs/PERF.md
+            # "Empty-scene FP fine-tune": empty-FP 0.9 -> 0.0 at the gate)
+            prod = pretrained.load_calibrated("pose-prod-256")
             trained = True
         except KeyError as e:
             print(f"[bench] pose-prod-256 not bundled ({e}); falling back "

@@ -146,6 +146,34 @@ def load(name: str) -> Any:
         return serialization.msgpack_restore(f.read())
 
 
+def load_calibrated(base: str = "pose-prod-256") -> Any:
+    """A base pose-stack entry with its detector-calibration DELTA merged
+    over it — what every production consumer (bench.py's trained headline,
+    the live service `runtime/serve.py`, the --production offline workflow)
+    loads. The delta entry (`<base>-calib`) holds only the YOLO branch,
+    fine-tuned on hard person-free scenes to kill the base fit's
+    empty-scene false positives (receipt: docs/PERF.md "Empty-scene FP
+    fine-tune" — empty-FP 0.9 -> 0.0 at the reference 0.3 gate with person
+    found-rate 1.0 and IoU improved). Missing BASE raises; a missing delta
+    falls back to the base loudly (stderr), never silently — the round-4
+    wiring bug this function exists to prevent was a registered-but-
+    unbundled delta nobody loaded."""
+    import sys
+
+    params = load(base)
+    try:
+        delta = load(f"{base}-calib")
+    except KeyError:
+        print(
+            f"[pretrained] WARNING: {base}-calib delta not bundled — "
+            f"serving the UNCALIBRATED {base} (empty-scene FP risk; "
+            f"rebuild with tools/bundle_pretrained.py)",
+            file=sys.stderr,
+        )
+        return params
+    return {**params, **delta}
+
+
 def verify() -> Dict[str, str]:
     """Assert the bundle and the registry agree BOTH ways: every manifest
     entry is fresh (its digest, recomputed from the LIVE trainer keys, must

@@ -89,12 +89,14 @@ def main() -> None:
             from isbfsar_tpu import pretrained
             from isbfsar_tpu.hpe.estimator import HumanPoseEstimator
 
-            prod = pretrained.load("pose-prod-256")
+            # base fit + empty-scene calibration delta (docs/PERF.md
+            # "Empty-scene FP fine-tune")
+            prod = pretrained.load_calibrated("pose-prod-256")
             cam_shape = (config.main.cam_height, config.main.cam_width)
             hpe = HumanPoseEstimator(config.hpe, config.intrinsics,
                                      params=prod, frame_shape=cam_shape)
             print("[isbfsar-tpu] pose stack: bundled pose-prod-256 "
-                  f"(gate {config.hpe.yolo_thresh})")
+                  f"+ calib delta (gate {config.hpe.yolo_thresh})")
         except KeyError:
             if args.weights == "pretrained":
                 raise

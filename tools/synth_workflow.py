@@ -400,11 +400,12 @@ def main() -> None:
         with open(args.pose_params, "rb") as f:
             pose_params = serialization.msgpack_restore(f.read())
     elif args.production:
-        # the bundled production fit (isbfsar_tpu.pretrained 'pose-prod-256';
+        # the bundled production fit + empty-scene calibration delta
+        # (isbfsar_tpu.pretrained 'pose-prod-256'/'pose-prod-256-calib';
         # trains once via the params cache when the bundle is absent)
-        from isbfsar_tpu.train.posestack import prod_pose_params
+        from isbfsar_tpu.train.posestack import prod_pose_params_calib
 
-        pose_params = prod_pose_params()
+        pose_params = prod_pose_params_calib()
     else:
         from isbfsar_tpu.train.posestack import diverse_pose_params_256
 
