@@ -99,10 +99,16 @@ def dp_parity_check(n_devices: int, atol: float = 2e-6,
     gradients amplify the ~1e-7 seed into percent-level param deltas after
     one SGD step. So for BN modalities the PARAM certificate is
     scale-aware — the 1-vs-n diff is measured relative to the size of the
-    update itself (`param_rel_diff`; measured ~0.03, a per-device-BN bug
-    like torch DataParallel's unsynced stats reads ~1) — while stats and
-    metrics keep absolute bounds (measured 6e-5 / 7e-3 vs bug-scale
-    0.1-1).
+    update itself (`param_rel_diff`; measured ~0.036 noise) — while stats
+    and metrics keep absolute bounds (measured 6e-5 / 7e-3 noise).
+
+    Bug-vs-noise separation, MEASURED not asserted (round 5,
+    :func:`bn_fault_injection_check` — the injected per-replica-BN bug,
+    i.e. torch DataParallel's unsynced stats): param_rel_diff reads 1.87
+    (52× the noise, 18.7× the 0.10 bound) and max_stats_diff reads 0.247
+    (4000× the noise, 247× the 1e-3 bound). The bounds sit in a two-sided
+    gap of ≥2.8×/18× — a real cross-replica-BN regression cannot pass the
+    certificate (tests/test_parallel.py::test_bn_fault_injection_rejected).
     """
     from isbfsar_tpu.configs import ARConfig
     from isbfsar_tpu.parallel.mesh import make_mesh
@@ -475,4 +481,103 @@ def way_sharding_parity_check(n_devices: int, atol: float = 1e-5) -> Dict[str, f
     assert max_prob_diff <= atol and report["is_true_diff"] <= atol, (
         f"way-sharding parity violated: {report}"
     )
+    return report
+
+
+def bn_fault_injection_check(n_devices: int) -> Dict[str, float]:
+    """NEGATIVE control for the BN-modality parity bounds (the fault the
+    tolerances claim to reject, demonstrated rather than asserted).
+
+    The rgb/hybrid dp certificates accept percent-level ``param_rel_diff``
+    (~0.03 measured; bound 0.10) because partitioned BN batch-mean
+    reductions reassociate — see the tolerance-design note in
+    :func:`dp_parity_check`. The risk of a loose bound is that it also
+    passes a REAL bug. The canonical bug class is torch DataParallel's
+    unsynced per-replica BatchNorm (each replica normalizes with its own
+    shard's statistics — exactly what the reference's
+    ``nn.DataParallel(extractor)``, modules/ar/utils/model.py:360-369,
+    does silently): under GSPMD it cannot arise naturally, because BN's
+    batch mean reduces over the LOGICAL batch axis regardless of sharding,
+    so this check INJECTS it on one device — the batch split into
+    ``n_devices`` per-replica shards, each shard's loss/gradient computed
+    with its own batch statistics (epoch-0 semantics, discriminator on,
+    identical seed-0 init), gradients averaged, one optimizer update — and
+    asserts the certificate numbers land ABOVE the certified bounds:
+    the injected step must FAIL the certificate, or the bounds are
+    meaningless.
+
+    Returns the same keys as :func:`dp_parity_check` plus the measured
+    separation ratios (``rel_diff_margin`` = injected/bound).
+    """
+    import optax
+
+    from isbfsar_tpu.configs import ARConfig
+    from isbfsar_tpu.parallel.mesh import make_mesh
+    from isbfsar_tpu.train.trainer import Trainer, make_loss_fn
+
+    modality, rgb_size = "rgb", 32
+    cfg = dataclasses.replace(
+        ARConfig.for_input(modality),
+        batch_size=n_devices,
+        n_task=n_devices,
+        eval_every_n_epoch=10_000,
+        rgb_size=rgb_size,
+    )
+    batch = _episodic_batch(cfg, n_devices, rgb_size, modality)
+
+    # The CORRECT global-batch step (the same call the dp certificate's
+    # 1-device arm makes: seed-0 init, run_epoch(0) => disc on)
+    p1, s1, _, (p_init, _), _ = _one_step_params(cfg, make_mesh(1), batch)
+
+    # The INJECTED per-replica-BN step from the identical init
+    tr = Trainer(cfg, mesh=make_mesh(1), log_dir="/tmp/isbfsar_dryrun",
+                 use_wandb=False, seed=0)
+    loss_fn = make_loss_fn(tr.model, cfg, mesh=tr.mesh)
+    disc_on = 0 > cfg.start_discriminator_after_epoch - 1  # run_epoch(0)
+
+    grad_fn = jax.jit(jax.grad(loss_fn, has_aux=True),
+                      static_argnames="disc_on")
+
+    def shard(i):
+        return jax.tree.map(lambda x: x[i:i + 1], batch)
+
+    grads, stats_shards = [], []
+    for i in range(n_devices):
+        g, metrics = grad_fn(tr.params, tr.batch_stats, shard(i), disc_on)
+        grads.append(g)
+        stats_shards.append(metrics["batch_stats"])
+    g_mean = jax.tree.map(lambda *xs: sum(xs) / len(xs), *grads)
+    updates, _ = tr.optimizer.update(g_mean, tr.opt_state, tr.params)
+    p_bug = jax.tree.map(np.asarray, optax.apply_updates(tr.params, updates))
+    # per-replica running stats, averaged at the end (what an unsynced-BN
+    # DataParallel leaves behind after gathering the replicas)
+    s_bug = jax.tree.map(
+        np.asarray,
+        jax.tree.map(lambda *xs: sum(xs) / len(xs), *stats_shards),
+    )
+
+    def l2(tree):
+        return float(np.sqrt(sum(
+            float((np.asarray(x) ** 2).sum()) for x in jax.tree.leaves(tree)
+        )))
+
+    diff_tree = jax.tree.map(lambda a, b: np.asarray(a) - np.asarray(b), p1, p_bug)
+    update_tree = jax.tree.map(lambda a, b: np.asarray(a) - np.asarray(b), p1, p_init)
+    report = {
+        "param_rel_diff": l2(diff_tree) / max(l2(update_tree), 1e-12),
+        "max_stats_diff": _max_diff(s1, s_bug),
+        "modality": modality,
+        "n_devices": n_devices,
+    }
+    # The dp_parity_check BN bounds this injection must exceed:
+    bounds = {"param_rel_diff": 0.10, "max_stats_diff": 1e-3}
+    report["rel_diff_margin"] = report["param_rel_diff"] / bounds["param_rel_diff"]
+    report["stats_diff_margin"] = report["max_stats_diff"] / bounds["max_stats_diff"]
+    for name, bound in bounds.items():
+        assert report[name] > bound, (
+            f"BN fault injection UNDETECTED: {name}={report[name]:.3e} <= "
+            f"certified bound {bound:.1e} — the dp parity tolerance would "
+            f"pass a real per-replica-BN bug; tighten the bounds "
+            f"(parallel/parity.py tolerance-design note)"
+        )
     return report
