@@ -108,9 +108,44 @@ def _tree_nbytes(tree) -> int:
     return total
 
 
+def trace_envelope(fn: Callable[[], Any], n: int = 20) -> float:
+    """Per-call DEVICE seconds from a jax.profiler trace: the mean duration
+    of the largest 'XLA Modules' envelope. Round-5 finding
+    (docs/PERF.md "Trained-stack device profile"): the queued-block fetch
+    timing above is a THROUGHPUT ceiling that still contains per-dispatch
+    relay/host gaps — hpe_frame read 3.10 ms by blocks but 1.69 ms by
+    trace. The trace envelope is the authoritative device time; blocks
+    remain the serving-rate receipt."""
+    import glob
+    import shutil
+    import tempfile
+
+    import jax
+
+    trace_dir = tempfile.mkdtemp(prefix="isbfsar_roofline_trace_")
+    try:
+        jax.profiler.start_trace(trace_dir)
+        out = None
+        for _ in range(n):
+            out = fn()
+        _fetch_sync(out)
+        jax.profiler.stop_trace()
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from profile_prod import parse_xspace
+
+        _, _, _, _, modules = parse_xspace(trace_dir)
+        if not modules:
+            return float("nan")
+        top = max(modules.values(), key=lambda m: m["total_ms"])
+        return top["total_ms"] / max(top["calls"], 1) / 1e3
+    finally:
+        shutil.rmtree(trace_dir, ignore_errors=True)
+
+
 def audit(name: str, jitted, args: Sequence[Any], n_blocks: int, block: int,
           peak_tflops: float, peak_gbs: float,
-          calls_per_item: int = 1, timed_fn=None) -> Dict[str, Any]:
+          calls_per_item: int = 1, timed_fn=None,
+          with_trace: bool = False) -> Dict[str, Any]:
     """One roofline row. `calls_per_item` divides time AND cost per logical
     frame for batched programs (cost_analysis covers the whole batch).
     `timed_fn` overrides the timing callable — needed for donating
@@ -163,6 +198,14 @@ def audit(name: str, jitted, args: Sequence[Any], n_blocks: int, block: int,
         "fused_beyond_cost_model": bool(dt < sol_upper),
         "mfu_pct": round(100.0 * flops / dt / (peak_tflops * 1e12), 4),
     }
+    if with_trace:
+        env = trace_envelope(timed_fn or (lambda: jitted(*args)))
+        if env == env:  # not NaN
+            row["device_envelope_ms"] = round(env / calls_per_item * 1e3, 4)
+            row["mfu_envelope_pct"] = round(
+                100.0 * flops / env / (peak_tflops * 1e12), 4)
+            row["pct_of_roofline_envelope"] = round(
+                100.0 * sol_floor / env, 1)
     print(
         f"[roofline] {name:18s} {row['per_frame_ms']:8.3f} ms/frame  "
         f"{row['gflops']:9.2f} GF  io {row['io_mbytes']:8.1f} MB "
@@ -190,6 +233,13 @@ def main() -> None:
                              "programs — 'bfloat16' audits the trunk-weight "
                              "storage cast (expect the bytes term to drop "
                              "~2x-of-weights; docs/PERF.md)")
+    parser.add_argument("--trace", action=argparse.BooleanOptionalAction,
+                        default=True,
+                        help="also capture a jax.profiler trace per row and "
+                             "report the module-envelope device time "
+                             "(device_envelope_ms / mfu_envelope_pct) — the "
+                             "authoritative device number; the block timing "
+                             "stays as the serving-rate receipt")
     parser.add_argument("--init-timeout", type=float, default=240.0,
                         help="seconds to wait for backend init before "
                              "erroring out instead of hanging on a wedged "
@@ -210,7 +260,8 @@ def main() -> None:
 
     enable_compile_cache()
     kw = dict(n_blocks=args.blocks, block=args.block,
-              peak_tflops=args.peak_tflops, peak_gbs=args.peak_gbs)
+              peak_tflops=args.peak_tflops, peak_gbs=args.peak_gbs,
+              with_trace=args.trace)
     rows = []
 
     # --- standalone module programs (bench.py's per-module setups) -------

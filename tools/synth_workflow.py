@@ -249,9 +249,45 @@ def run_workflow(
     )
     trees = {k: os.path.join(workdir, f"tree_{k}") for k in vids}
     n_skipped = 0
+
+    # First-result watchdog: the shared relay's wedge signature is a hang
+    # at the FIRST device call (backend init succeeds, then the first
+    # compile/execute never returns — measured twice in one session, ~40
+    # wasted minutes; NEXT.md round-5 gotchas). The hang sits in C land,
+    # so a thread cannot interrupt it — os._exit(3) and let the caller
+    # retry after a quiet period (the workdir resumes renders).
+    import threading
+
+    first_done = threading.Event()
+    deadline_s = float(os.environ.get("ISBFSAR_FIRST_RESULT_TIMEOUT", "600"))
+
+    def _any_clip_extracted() -> bool:
+        for t in trees.values():
+            if not os.path.isdir(t):
+                continue
+            for cls in os.listdir(t):
+                cdir = os.path.join(t, cls)
+                if os.path.isdir(cdir) and os.listdir(cdir):
+                    return True
+        return False
+
+    def _first_result_watchdog():
+        t_start = time.time()
+        while time.time() - t_start < deadline_s:
+            if first_done.wait(10.0) or _any_clip_extracted():
+                return
+        if not (first_done.is_set() or _any_clip_extracted()):
+            say(f"FATAL: first extraction produced nothing within "
+                f"{deadline_s:.0f}s — relay-wedge signature; kill+retry "
+                f"after a quiet period (renders resume)")
+            os._exit(3)
+
+    if deadline_s > 0:
+        threading.Thread(target=_first_result_watchdog, daemon=True).start()
     for k in vids:
         extract_tree(estimator, vids[k], trees[k], n_frames=n_frames,
                      smooth=smooth)
+        first_done.set()
         for cls in os.listdir(trees[k]):
             n_skipped += sum(
                 e.startswith(".skip_")
