@@ -28,6 +28,8 @@ budgets and cross-platform drift (env gotcha: cached FMA variance) all
 wiggle them run-to-run.
 """
 
+import time
+
 import numpy as np
 import pytest
 
@@ -166,3 +168,49 @@ class TestFullOfflineLoop:
         assert receipt["fsos"]["FS-ACC"] >= 0.35, receipt
         assert receipt["fsos"]["OS-ACC"] >= 0.40, receipt
         assert receipt["fsos"]["FSOS-ACC"] >= 0.28, receipt
+
+
+class TestFirstResultWatchdog:
+    """The relay-wedge watchdog (tools/synth_workflow.py::
+    start_first_result_watchdog): a hang at the FIRST device call must
+    hard-exit(3) instead of burning the whole budget; any sign of progress
+    (event set, or a clip file appearing on disk) must disarm it."""
+
+    def _arm(self, tmp_path, deadline, calls):
+        from tools.synth_workflow import start_first_result_watchdog
+        tree = tmp_path / "tree_train"
+        return tree, start_first_result_watchdog(
+            {"train": str(tree)}, deadline,
+            say=lambda *_: None, exit_fn=lambda code: calls.append(code),
+        )
+
+    def test_fires_exit3_when_nothing_appears(self, tmp_path):
+        calls = []
+        _, done = self._arm(tmp_path, 0.2, calls)
+        time.sleep(1.0)
+        assert calls == [3]
+        assert not done.is_set()
+
+    def test_disarmed_by_first_done_event(self, tmp_path):
+        calls = []
+        _, done = self._arm(tmp_path, 0.3, calls)
+        done.set()
+        time.sleep(1.0)
+        assert calls == []
+
+    def test_disarmed_by_clip_on_disk(self, tmp_path):
+        # progress visible only on disk (extract_tree writes clips long
+        # before the per-tree loop sets the event) also disarms
+        calls = []
+        tree, _ = self._arm(tmp_path, 0.4, calls)
+        (tree / "wave").mkdir(parents=True)
+        (tree / "wave" / "clip0.npy").write_bytes(b"x")
+        time.sleep(1.2)
+        assert calls == []
+
+    def test_deadline_zero_disarms(self, tmp_path):
+        calls = []
+        _, done = self._arm(tmp_path, 0.0, calls)
+        assert done.is_set()
+        time.sleep(0.3)
+        assert calls == []

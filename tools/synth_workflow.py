@@ -41,6 +41,54 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def start_first_result_watchdog(trees: Dict[str, str], deadline_s: float,
+                                say, exit_fn=os._exit):
+    """Arm the relay-wedge watchdog: if NO clip file appears under any of
+    ``trees`` within ``deadline_s``, call ``exit_fn(3)``.
+
+    The shared relay's wedge signature is a hang at the FIRST device call
+    (backend init succeeds, then the first compile/execute never returns —
+    measured twice in one session, ~40 wasted minutes; NEXT.md round-5
+    gotchas). The hang sits in C land, so a thread cannot interrupt it —
+    hard-exit and let the caller retry after a quiet period (the workdir
+    resumes renders). Returns the ``first_done`` event the extraction loop
+    must set after its first tree; ``deadline_s <= 0`` disarms (returns a
+    pre-set event). ``exit_fn`` is injectable for the unit test
+    (tests/test_synth_workflow.py::test_first_result_watchdog)."""
+    import threading
+
+    first_done = threading.Event()
+    if deadline_s <= 0:
+        first_done.set()
+        return first_done
+
+    def _any_clip_extracted() -> bool:
+        for t in trees.values():
+            if not os.path.isdir(t):
+                continue
+            for cls in os.listdir(t):
+                cdir = os.path.join(t, cls)
+                if os.path.isdir(cdir) and os.listdir(cdir):
+                    return True
+        return False
+
+    poll_s = min(10.0, max(deadline_s / 10.0, 0.01))
+
+    def _watch():
+        t_start = time.time()
+        while time.time() - t_start < deadline_s:
+            if first_done.wait(poll_s) or _any_clip_extracted():
+                return
+        if not (first_done.is_set() or _any_clip_extracted()):
+            say(f"FATAL: first extraction produced nothing within "
+                f"{deadline_s:.0f}s — relay-wedge signature; kill+retry "
+                f"after a quiet period (renders resume)")
+            exit_fn(3)
+
+    threading.Thread(target=_watch, daemon=True).start()
+    return first_done
+
+
 def workflow_fingerprint(pose_params, **render_extract_cfg) -> str:
     """Digest of everything the workdir's RESUMABLE artifacts depend on.
 
@@ -250,40 +298,11 @@ def run_workflow(
     trees = {k: os.path.join(workdir, f"tree_{k}") for k in vids}
     n_skipped = 0
 
-    # First-result watchdog: the shared relay's wedge signature is a hang
-    # at the FIRST device call (backend init succeeds, then the first
-    # compile/execute never returns — measured twice in one session, ~40
-    # wasted minutes; NEXT.md round-5 gotchas). The hang sits in C land,
-    # so a thread cannot interrupt it — os._exit(3) and let the caller
-    # retry after a quiet period (the workdir resumes renders).
-    import threading
-
-    first_done = threading.Event()
-    deadline_s = float(os.environ.get("ISBFSAR_FIRST_RESULT_TIMEOUT", "600"))
-
-    def _any_clip_extracted() -> bool:
-        for t in trees.values():
-            if not os.path.isdir(t):
-                continue
-            for cls in os.listdir(t):
-                cdir = os.path.join(t, cls)
-                if os.path.isdir(cdir) and os.listdir(cdir):
-                    return True
-        return False
-
-    def _first_result_watchdog():
-        t_start = time.time()
-        while time.time() - t_start < deadline_s:
-            if first_done.wait(10.0) or _any_clip_extracted():
-                return
-        if not (first_done.is_set() or _any_clip_extracted()):
-            say(f"FATAL: first extraction produced nothing within "
-                f"{deadline_s:.0f}s — relay-wedge signature; kill+retry "
-                f"after a quiet period (renders resume)")
-            os._exit(3)
-
-    if deadline_s > 0:
-        threading.Thread(target=_first_result_watchdog, daemon=True).start()
+    first_done = start_first_result_watchdog(
+        trees,
+        float(os.environ.get("ISBFSAR_FIRST_RESULT_TIMEOUT", "600")),
+        say,
+    )
     for k in vids:
         extract_tree(estimator, vids[k], trees[k], n_frames=n_frames,
                      smooth=smooth)
