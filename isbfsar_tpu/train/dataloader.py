@@ -220,12 +220,17 @@ class FSOSEpisodicSampler:
         input_type: str = "skeleton",
         query_class: Optional[str] = None,
         skeleton: str = "smpl+head_30",
+        exclude_exemplar_queries: bool = False,
     ):
         self.loader = EpisodicSampler(
             queries_path, max_l=max_l, l=l, input_type=input_type, skeleton=skeleton
         )
         self.all_test_classes = list_classes(exemplars_path)
         self.support_classes = [self.all_test_classes[i] for i in support_class_ids]
+        exemplar_paths = [
+            _clip_subdirs(os.path.join(exemplars_path, c))[0]
+            for c in self.support_classes
+        ]
         self.queries: List[str] = []
         for q in self.all_test_classes:
             if query_class and q != query_class:
@@ -234,10 +239,12 @@ class FSOSEpisodicSampler:
             if not os.path.isdir(base):
                 continue
             self.queries.extend(_clip_subdirs(base))
-        self.support_set = [
-            self.loader.load_clip(_clip_subdirs(os.path.join(exemplars_path, c))[0])
-            for c in self.support_classes
-        ]
+        if exclude_exemplar_queries:
+            # self-calibration (queries_path == exemplars_path): the chosen
+            # exemplar clip must never score itself as a query
+            drop = set(exemplar_paths)
+            self.queries = [q for q in self.queries if q not in drop]
+        self.support_set = [self.loader.load_clip(p) for p in exemplar_paths]
 
     def __getitem__(self, i: int) -> Dict:
         target = self.loader.get_sample(None, path=self.queries[i])

@@ -126,6 +126,79 @@ class TestFSOS:
                 assert -1.0 <= v <= 1.0
         assert summarize(results)
 
+    def _init_params(self, cfg):
+        import jax
+
+        model = TRXOS(cfg)
+        q = {"sk": jnp.zeros((1, cfg.seq_len, 90))}
+        s = {"sk": jnp.zeros((1, cfg.way, cfg.seq_len, 90))}
+        return model.init(
+            jax.random.key(0), q, jnp.ones((1, cfg.way), bool), support_data=s
+        )
+
+    def test_metrics_at_threshold_consistent_with_protocol(self, dataset):
+        """Re-scoring the collected raw triples at the default threshold
+        must reproduce evaluate_fsos's own numbers exactly (the device
+        forward is threshold-independent)."""
+        from isbfsar_tpu.train.fsos import metrics_at_threshold
+
+        root, names = dataset
+        params = self._init_params(CFG)
+        results = evaluate_fsos(
+            CFG, params, root, root, k=5, n_repeats=2, batch_size=4,
+            n_test_classes=len(names), collect_raw=True,
+        )
+        rescored = metrics_at_threshold(results["_raw"], 0.5)
+        for key in ("FSOS-ACC", "FS-ACC", "OS-ACC"):
+            assert rescored[key] == pytest.approx(results[key], abs=1e-9)
+        # raw never leaks into the summary line
+        assert "_raw" not in summarize(results)
+
+    def test_metrics_at_threshold_hand_computed(self):
+        from isbfsar_tpu.train.fsos import metrics_at_threshold
+
+        raw = [{
+            # two known (scores .9/.2, fs hit/miss), two unknown (.8/.1)
+            "scores": np.array([0.9, 0.2, 0.8, 0.1]),
+            "known": np.array([True, True, False, False]),
+            "fs_correct": np.array([True, False, False, False]),
+        }]
+        m = metrics_at_threshold(raw, 0.5)
+        assert m["OS-ACC"] == [pytest.approx(0.5)]   # hits: q0 and q3
+        assert m["FS-ACC"] == [pytest.approx(0.5)]   # q0 of the two known
+        assert m["FSOS-ACC"] == [pytest.approx(0.5)]  # q0 (known, fs, os) + q3
+        m15 = metrics_at_threshold(raw, 0.15)
+        assert m15["OS-ACC"] == [pytest.approx(0.75)]  # q0, q1, q3... q2 misses
+        assert m15["FS-ACC"] == [pytest.approx(0.5)]   # threshold-independent
+
+    def test_calibrate_os_threshold(self, dataset):
+        """Train-tree calibration: valid threshold, never worse than the
+        reference's 0.5 on its own calibration pairs (0.5 is on the grid),
+        and the self-scoring exemplar clips are excluded."""
+        from isbfsar_tpu.train.fsos import calibrate_os_threshold
+
+        root, names = dataset
+        params = self._init_params(CFG)
+        calib = calibrate_os_threshold(
+            CFG, params, root, k=5, n_repeats=2, batch_size=4, seed=0,
+        )
+        assert 0.0 < calib["os_threshold"] < 1.0
+        assert calib["os_acc_at_best"] >= calib["os_acc_at_default"]
+        assert 0.0 <= calib["balanced_acc"] <= 1.0
+        # 8 classes x 3 clips, minus the 5 support exemplars, x 2 repeats
+        assert calib["n_queries"] == 2 * (len(names) * 3 - 5)
+
+    def test_exclude_exemplar_queries(self, dataset):
+        from isbfsar_tpu.train.dataloader import FSOSEpisodicSampler
+
+        root, names = dataset
+        kw = dict(support_class_ids=[0, 1, 2], l=CFG.seq_len)
+        full = FSOSEpisodicSampler(root, root, **kw)
+        pruned = FSOSEpisodicSampler(
+            root, root, exclude_exemplar_queries=True, **kw
+        )
+        assert len(pruned) == len(full) - 3
+
 
 class TestCheckpoint:
     def test_roundtrip(self, tmp_path, rng):

@@ -194,7 +194,12 @@ def run_workflow(
     from isbfsar_tpu.models.effnetv2 import V2_TINY
     from isbfsar_tpu.parallel.mesh import make_mesh
     from isbfsar_tpu.train.dataloader import EpisodicSampler, batch_iterator
-    from isbfsar_tpu.train.fsos import evaluate_fsos, summarize
+    from isbfsar_tpu.train.fsos import (
+        calibrate_os_threshold,
+        evaluate_fsos,
+        metrics_at_threshold,
+        summarize,
+    )
     from isbfsar_tpu.train.posestack import (
         ACTION_TEST_CLASSES,
         ACTION_TRAIN_CLASSES,
@@ -338,12 +343,23 @@ def run_workflow(
             f"os_acc {last['train/os_accuracy']:.2f}")
     t_train = time.time()
 
-    # 4. FSOS on the held-out classes (reference compute_fsos protocol)
+    # 4. FSOS on the held-out classes (reference compute_fsos protocol).
+    # The open-set threshold is ALSO calibrated on the TRAIN tree (never
+    # the test classes) and the held-out metrics re-scored at it from the
+    # collected raw scores — reported alongside, never instead of, the
+    # reference's hard-coded 0.5 (compute_fsos.py:101-102).
     params = jax.tree.map(np.asarray, trainer.params)
+    calib = calibrate_os_threshold(
+        cfg, params, trees["train"], k=way, n_repeats=fsos_repeats,
+        batch_size=batch_size, seed=seed,
+    )
+    say(f"os-threshold calibration (train classes): {json.dumps(calib)}")
     results = evaluate_fsos(
         cfg, params, trees["test_q"], trees["test_ex"], k=way,
         n_repeats=fsos_repeats, batch_size=batch_size, seed=seed,
+        collect_raw=True,
     )
+    results_cal = metrics_at_threshold(results["_raw"], calib["os_threshold"])
     t_eval = time.time()
 
     receipt = {
@@ -359,8 +375,13 @@ def run_workflow(
         "epochs": n_epochs,
         "train_fs_acc": round(last.get("train/fs_accuracy", -1.0), 3),
         "train_os_acc": round(last.get("train/os_accuracy", -1.0), 3),
-        "fsos": {k: round(float(np.mean(v)), 3) for k, v in results.items()},
-        "fsos_std": {k: round(float(np.std(v)), 3) for k, v in results.items()},
+        "fsos": {k: round(float(np.mean(v)), 3)
+                 for k, v in results.items() if not k.startswith("_")},
+        "fsos_std": {k: round(float(np.std(v)), 3)
+                     for k, v in results.items() if not k.startswith("_")},
+        "os_calibration": calib,
+        "fsos_calibrated": {k: round(float(np.mean(v)), 3)
+                            for k, v in results_cal.items()},
         "wall_s": {
             "render": round(t_render - t0, 1),
             "extract": round(t_extract - t_render, 1),
@@ -369,6 +390,8 @@ def run_workflow(
         },
     }
     say("summary " + json.dumps(summarize(results)))
+    say(f"summary@calibrated-os({calib['os_threshold']}) "
+        + json.dumps(summarize(results_cal)))
     return receipt
 
 
