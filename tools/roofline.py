@@ -234,12 +234,16 @@ def main() -> None:
                              "storage cast (expect the bytes term to drop "
                              "~2x-of-weights; docs/PERF.md)")
     parser.add_argument("--trace", action=argparse.BooleanOptionalAction,
-                        default=True,
+                        default=False,
                         help="also capture a jax.profiler trace per row and "
                              "report the module-envelope device time "
                              "(device_envelope_ms / mfu_envelope_pct) — the "
                              "authoritative device number; the block timing "
-                             "stays as the serving-rate receipt")
+                             "stays as the serving-rate receipt. Off by "
+                             "default: per-row profiler sessions through a "
+                             "loaded relay add minutes and one more way to "
+                             "wedge (a wedged relay ate the first --trace "
+                             "run of round 5); opt in for receipt runs")
     parser.add_argument("--init-timeout", type=float, default=240.0,
                         help="seconds to wait for backend init before "
                              "erroring out instead of hanging on a wedged "
