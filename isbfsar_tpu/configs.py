@@ -149,6 +149,14 @@ class ARConfig:
     # so live must match). No effect in rgb mode (no pose consumer).
     smooth_poses: bool = True
 
+    # Open-set accept threshold for the live display (reference
+    # utils/output.py:252-258 hard-codes 0.66 for the green action label).
+    # train/fsos.py::calibrate_os_threshold picks a better one on TRAIN
+    # classes (round-5 receipt: held-out FSOS 0.574 -> 0.709 at production
+    # scale, docs/PERF.md "Train-calibrated open-set threshold") — feed its
+    # result here or via `source_cli --os-threshold`.
+    os_threshold: float = 0.66
+
     @property
     def trans_linear_in_dim(self) -> int:
         # reference utils/params.py:79

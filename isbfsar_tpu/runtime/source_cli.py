@@ -12,6 +12,8 @@ import queue
 import sys
 import threading
 
+from isbfsar_tpu.configs import ARConfig
+
 
 def _stdin_commands():
     """Non-blocking stdin command iterator ('' when no pending command)."""
@@ -45,12 +47,18 @@ def main() -> None:
     parser.add_argument("--gui", action="store_true",
                         help="interactive 2x2 panel (reference VisPy GUI); "
                              "commands typed into the window")
+    parser.add_argument("--os-threshold", type=float,
+                        default=ARConfig().os_threshold,
+                        help="open-set accept gate for the green action "
+                             "label (reference 0.66; use the workflow "
+                             "receipt's calibrated os_threshold — "
+                             "train/fsos.py::calibrate_os_threshold)")
     args = parser.parse_args()
 
     if args.gui:
         from isbfsar_tpu.runtime.visualizer import GUIVisualizer
 
-        visualizer = GUIVisualizer()
+        visualizer = GUIVisualizer(os_threshold=args.os_threshold)
         command_stream = visualizer.commands()
     else:
         visualizer = ConsoleVisualizer()

@@ -169,13 +169,18 @@ class GUIVisualizer:
         "REMOVE ACTION: remove action_name",
     ]
 
-    def __init__(self, backend: Optional[str] = None, figsize=(12, 6)):
+    def __init__(self, backend: Optional[str] = None, figsize=(12, 6),
+                 os_threshold: float = 0.66):
         import matplotlib
 
         if backend:
             matplotlib.use(backend, force=True)
         import matplotlib.pyplot as plt
 
+        # open-set accept gate for the green action label (reference
+        # utils/output.py:252-258 value 0.66; ARConfig.os_threshold /
+        # calibrate_os_threshold supply a calibrated one)
+        self.os_threshold = float(os_threshold)
         self._plt = plt
         self.show_enabled = True
         self.show_os = True
@@ -407,7 +412,7 @@ class GUIVisualizer:
             # action label: green when accepted by the open-set head (and
             # focus, if required) — reference output.py:252-258
             label_color = "white"
-            if score == best and is_true > 0.66:
+            if score == best and is_true > self.os_threshold:
                 if requires_focus.get(name, False):
                     label_color = "green" if focus else "orange"
                 else:

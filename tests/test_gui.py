@@ -133,6 +133,24 @@ class TestGUIVisualizer:
         # the cue itself still renders (labels are drawn per frame)
         assert np.abs(a.astype(int) - b.astype(int)).max() > 0
 
+    def test_calibrated_os_threshold_changes_accept(self):
+        """GUIVisualizer honors a calibrated open-set threshold
+        (ARConfig.os_threshold / --os-threshold): an is_true of 0.4 is
+        rejected at the reference's 0.66 gate but accepted at the round-5
+        calibrated 0.26 (docs/PRODWF_oscal_r5_s1c10_e150.json)."""
+        from isbfsar_tpu.runtime.visualizer import GUIVisualizer
+
+        def best_label_color(vis):
+            vis.render(dict(ELEMENTS, is_true=0.4))
+            rows = vis._art["rows"]
+            labels = {r["label"].get_text(): r["label"] for r in rows}
+            best = max(ELEMENTS["actions"], key=ELEMENTS["actions"].get)
+            return labels[best].get_color()
+
+        assert best_label_color(GUIVisualizer(backend="Agg")) == "white"
+        assert best_label_color(
+            GUIVisualizer(backend="Agg", os_threshold=0.26)) != "white"
+
     def test_offscreen_render_rate(self, gui):
         """VERDICT r2 weak #4: the panel must sustain camera rate. Measure
         the steady-state offscreen render of a changing elements stream —
