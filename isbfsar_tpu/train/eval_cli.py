@@ -49,6 +49,18 @@ def _load_params(cfg, path):
 
 
 def main() -> None:
+    # Env-var platform selection does NOT survive this box's sitecustomize
+    # (it force-registers the remote TPU and overrides JAX_PLATFORMS);
+    # honor an explicit ISBFSAR_PLATFORM by setting the config before the
+    # backend initializes. ISBFSAR_PLATFORM=cpu makes this CLI runnable
+    # while the shared relay is wedged or busy.
+    import os
+
+    if os.environ.get("ISBFSAR_PLATFORM"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["ISBFSAR_PLATFORM"])
+
     from isbfsar_tpu.configs import ARConfig
     from isbfsar_tpu.utils.cache import enable_compile_cache
 
@@ -62,6 +74,16 @@ def main() -> None:
     parser.add_argument("--repeats", type=int, default=10)
     parser.add_argument("--batch-size", type=int, default=8)
     parser.add_argument("--plot", default=None)
+    parser.add_argument("--os-threshold", type=float, default=0.5,
+                        help="open-set decision threshold for fsos mode "
+                             "(reference protocol 0.5, compute_fsos.py:"
+                             "101-102; pass a calibrate_os_threshold "
+                             "result to score at the calibrated gate)")
+    parser.add_argument("--calibrate", default=None, metavar="TRAIN_TREE",
+                        help="fsos mode: first calibrate the open-set "
+                             "threshold on this TRAIN-class tree "
+                             "(train/fsos.py::calibrate_os_threshold) and "
+                             "report both thresholds' metrics")
     args = parser.parse_args()
 
     enable_compile_cache()
@@ -70,14 +92,32 @@ def main() -> None:
 
     if args.mode == "fsos":
         from isbfsar_tpu.train.dataloader import list_classes
-        from isbfsar_tpu.train.fsos import evaluate_fsos, summarize
+        from isbfsar_tpu.train.fsos import (
+            calibrate_os_threshold,
+            evaluate_fsos,
+            metrics_at_threshold,
+            summarize,
+        )
 
         exemplars = args.exemplars or args.data
         results = evaluate_fsos(
             cfg, params, args.data, exemplars, k=args.k, n_repeats=args.repeats,
             batch_size=args.batch_size, n_test_classes=len(list_classes(exemplars)),
+            os_threshold=args.os_threshold, collect_raw=bool(args.calibrate),
         )
         print(json.dumps(summarize(results)))
+        if args.calibrate:
+            calib = calibrate_os_threshold(
+                cfg, params, args.calibrate, k=args.k,
+                n_repeats=args.repeats, batch_size=args.batch_size,
+            )
+            print(json.dumps({"os_calibration": calib}))
+            print(json.dumps({
+                f"fsos@{calib['os_threshold']}": summarize(
+                    metrics_at_threshold(results["_raw"],
+                                         calib["os_threshold"])
+                )
+            }))
         if args.plot:
             from isbfsar_tpu.train.evals import plot_fsos
 

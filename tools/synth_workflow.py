@@ -41,26 +41,49 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def start_first_result_watchdog(trees: Dict[str, str], deadline_s: float,
-                                say, exit_fn=os._exit):
-    """Arm the relay-wedge watchdog: if NO clip file appears under any of
-    ``trees`` within ``deadline_s``, call ``exit_fn(3)``.
+def start_progress_watchdog(what: str, deadline_s: float, say,
+                            exit_fn=os._exit, progress_check=None):
+    """Arm a relay-wedge watchdog: if neither the returned event is set nor
+    ``progress_check()`` turns true within ``deadline_s``, ``exit_fn(3)``.
 
-    The shared relay's wedge signature is a hang at the FIRST device call
-    (backend init succeeds, then the first compile/execute never returns —
-    measured twice in one session, ~40 wasted minutes; NEXT.md round-5
-    gotchas). The hang sits in C land, so a thread cannot interrupt it —
-    hard-exit and let the caller retry after a quiet period (the workdir
-    resumes renders). Returns the ``first_done`` event the extraction loop
-    must set after its first tree; ``deadline_s <= 0`` disarms (returns a
-    pre-set event). ``exit_fn`` is injectable for the unit test
-    (tests/test_synth_workflow.py::test_first_result_watchdog)."""
+    The shared relay's wedge signature is a hang at a device call (backend
+    init succeeds, then a compile/execute never returns — measured FOUR
+    times in one day: twice at extraction's first call, once mid-roofline,
+    once at the trainer's first step; NEXT.md round-5 gotchas). The hang
+    sits in C land, so a thread cannot interrupt it — hard-exit and let
+    the caller retry after a quiet period (workdirs resume). ``deadline_s
+    <= 0`` disarms (returns a pre-set event). ``exit_fn`` is injectable
+    for the unit tests (tests/test_synth_workflow.py)."""
     import threading
 
     first_done = threading.Event()
     if deadline_s <= 0:
         first_done.set()
         return first_done
+
+    progressed = progress_check or (lambda: False)
+    poll_s = min(10.0, max(deadline_s / 10.0, 0.01))
+
+    def _watch():
+        t_start = time.time()
+        while time.time() - t_start < deadline_s:
+            if first_done.wait(poll_s) or progressed():
+                return
+        if not (first_done.is_set() or progressed()):
+            say(f"FATAL: {what} produced nothing within "
+                f"{deadline_s:.0f}s — relay-wedge signature; kill+retry "
+                f"after a quiet period (the workdir resumes)")
+            exit_fn(3)
+
+    threading.Thread(target=_watch, daemon=True).start()
+    return first_done
+
+
+def start_first_result_watchdog(trees: Dict[str, str], deadline_s: float,
+                                say, exit_fn=os._exit):
+    """Extraction-stage watchdog: progress = any clip file under ``trees``
+    (extract_tree writes clips long before the per-tree loop sets the
+    event). See ``start_progress_watchdog``."""
 
     def _any_clip_extracted() -> bool:
         for t in trees.values():
@@ -72,21 +95,10 @@ def start_first_result_watchdog(trees: Dict[str, str], deadline_s: float,
                     return True
         return False
 
-    poll_s = min(10.0, max(deadline_s / 10.0, 0.01))
-
-    def _watch():
-        t_start = time.time()
-        while time.time() - t_start < deadline_s:
-            if first_done.wait(poll_s) or _any_clip_extracted():
-                return
-        if not (first_done.is_set() or _any_clip_extracted()):
-            say(f"FATAL: first extraction produced nothing within "
-                f"{deadline_s:.0f}s — relay-wedge signature; kill+retry "
-                f"after a quiet period (renders resume)")
-            exit_fn(3)
-
-    threading.Thread(target=_watch, daemon=True).start()
-    return first_done
+    return start_progress_watchdog(
+        "first extraction", deadline_s, say, exit_fn=exit_fn,
+        progress_check=_any_clip_extracted,
+    )
 
 
 def workflow_fingerprint(pose_params, **render_extract_cfg) -> str:
@@ -329,6 +341,14 @@ def run_workflow(
     )
     trainer = Trainer(cfg, mesh=make_mesh(1),
                       log_dir=os.path.join(workdir, "run"), use_wandb=False)
+    # Trainer-stage wedge watchdog (the round-5 session measured a wedge at
+    # the trainer's FIRST step too — 20 silent minutes after a clean
+    # extraction): epoch 0 must complete within the deadline.
+    epoch0_done = start_progress_watchdog(
+        "first training epoch",
+        float(os.environ.get("ISBFSAR_FIRST_EPOCH_TIMEOUT", "900")),
+        say,
+    )
     last = {}
     for epoch in range(n_epochs):
         sampler = EpisodicSampler(
@@ -338,6 +358,7 @@ def run_workflow(
         batches = batch_iterator(sampler, batch_size, shuffle=False,
                                  drop_last=True)
         last = trainer.run_epoch(epoch, batches, train=True)
+        epoch0_done.set()
         say(f"epoch {epoch}: fs_loss {last['train/fs_loss']:.3f} "
             f"fs_acc {last['train/fs_accuracy']:.2f} "
             f"os_acc {last['train/os_accuracy']:.2f}")
@@ -396,6 +417,15 @@ def run_workflow(
 
 
 def main() -> None:
+    # sitecustomize force-registers the remote TPU and overrides
+    # JAX_PLATFORMS; honor an explicit ISBFSAR_PLATFORM before the backend
+    # initializes (ISBFSAR_PLATFORM=cpu runs the CI-scale workflow with no
+    # relay dependency).
+    if os.environ.get("ISBFSAR_PLATFORM"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["ISBFSAR_PLATFORM"])
+
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--workdir", default=None,
                         help="artifact dir (renders/trees resume in it; a "
