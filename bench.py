@@ -42,10 +42,20 @@ def _sync(out) -> None:
         np.asarray(x)
 
 
+_FIRST_RESULT = None  # armed in main(): mid-run wedge watchdog event
+
+
+def _mark_first_result() -> None:
+    """A device result landed — disarm the mid-run wedge watchdog."""
+    if _FIRST_RESULT is not None:
+        _FIRST_RESULT.set()
+
+
 def _bench_loop(fn, n: int = 100, warmup: int = 5):
     for _ in range(warmup):
         out = fn()
     _sync(out)
+    _mark_first_result()
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn()
@@ -62,6 +72,7 @@ def _bench_blocks(fn, n_blocks: int = 5, block: int = 100, warmup: int = 5):
     for _ in range(warmup):
         out = fn()
     _sync(out)
+    _mark_first_result()
     times = []
     for _ in range(n_blocks):
         t0 = time.perf_counter()
@@ -136,6 +147,7 @@ def bench_full(param_dtype: str = "bfloat16", compute_only: bool = False) -> dic
     print("[bench] compiling + warmup...", file=sys.stderr)
     t0 = time.time()
     pipe.warmup(3)
+    _mark_first_result()
     print(f"[bench] warmup done in {time.time() - t0:.1f}s", file=sys.stderr)
 
     from isbfsar_tpu.ops.image import bgr_to_i420
@@ -492,6 +504,37 @@ def main() -> None:
     args = parser.parse_args()
 
     _await_backend_or_die(args.init_timeout)
+
+    # Mid-run wedge guard (round-5: the relay wedged at the FIRST
+    # compile/execute AFTER a clean init, four times in one day). If no
+    # device result lands inside the deadline, wait out a quiet period and
+    # re-exec this same invocation (clears the wedged client state; the
+    # compile cache makes the retry cheap); after the retries, emit the
+    # one-JSON-line error contract so the driver records a diagnosable
+    # artifact instead of an rc=124 blank. Deadline default 1500 s covers
+    # a COLD warmup (~15 min through the remote-compile relay) — warm runs
+    # finish in ~4 min.
+    import os
+
+    from isbfsar_tpu.utils.watchdog import exec_retry_watchdog
+
+    def _wedge_exhausted():
+        print(json.dumps({
+            "metric": "e2e_fps", "value": 0.0, "unit": "fps",
+            "vs_baseline": 0.0,
+            "error": "relay wedged mid-run (no first result; retries "
+                     "exhausted) — docs/PERF.md relay cost model",
+        }))
+        sys.stdout.flush()
+
+    global _FIRST_RESULT
+    _FIRST_RESULT = exec_retry_watchdog(
+        "first bench result",
+        float(os.environ.get("ISBFSAR_BENCH_WEDGE_TIMEOUT", "1500")),
+        quiet_s=float(os.environ.get("ISBFSAR_BENCH_WEDGE_QUIET", "180")),
+        max_retries=int(os.environ.get("ISBFSAR_BENCH_WEDGE_RETRIES", "2")),
+        on_exhausted=_wedge_exhausted,
+    )
 
     benches = {
         "full": lambda: bench_full(args.param_dtype, args.compute_only),

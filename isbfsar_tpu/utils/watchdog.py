@@ -47,3 +47,55 @@ def await_backend(timeout_s: float) -> Optional[str]:
                 f"unreachable/wedged, not a code failure "
                 f"(docs/PERF.md relay cost model)")
     return failure[0] if failure else None
+
+
+def exec_retry_watchdog(what: str, deadline_s: float, quiet_s: float = 180.0,
+                        max_retries: int = 2,
+                        env_var: str = "ISBFSAR_WEDGE_RETRY",
+                        say=None, on_exhausted=None,
+                        _exec=None, _exit=None):
+    """Mid-run wedge guard with self-retry: if the returned event is not
+    set within ``deadline_s``, assume the relay wedged AFTER init (the
+    round-5 signature: first compile/execute hangs in C land, where no
+    thread can interrupt it), wait ``quiet_s`` for the relay to drain,
+    then RE-EXEC this process image — ``os.execv`` clears the wedged
+    client state while the caller's single invocation (e.g. the driver's
+    one ``python bench.py``) keeps running. Retries are counted in
+    ``os.environ[env_var]``; when exhausted, call ``on_exhausted()`` (e.g.
+    emit the one-JSON-line error contract) and hard-exit(3).
+
+    ``deadline_s <= 0`` disarms. ``_exec``/``_exit`` are injectable for
+    tests (default ``os.execv`` / ``os._exit``)."""
+    import os
+    import sys
+    import threading
+    import time as _time
+
+    done = threading.Event()
+    if deadline_s <= 0:
+        done.set()
+        return done
+    emit = say or (lambda m: print(m, file=sys.stderr, flush=True))
+
+    def _watch():
+        if done.wait(deadline_s):
+            return
+        tried = int(os.environ.get(env_var, "0"))
+        if tried >= max_retries:
+            emit(f"[watchdog] {what} still missing after {deadline_s:.0f}s "
+                 f"and {tried} re-exec retries — giving up")
+            if on_exhausted is not None:
+                on_exhausted()
+            (_exit or os._exit)(3)
+            return
+        emit(f"[watchdog] no {what} within {deadline_s:.0f}s — relay-wedge "
+             f"signature; quiet {quiet_s:.0f}s then re-exec "
+             f"(retry {tried + 1}/{max_retries})")
+        _time.sleep(quiet_s)
+        if done.is_set():  # late result while waiting: not a wedge
+            return
+        os.environ[env_var] = str(tried + 1)
+        (_exec or os.execv)(sys.executable, [sys.executable] + sys.argv)
+
+    threading.Thread(target=_watch, daemon=True).start()
+    return done
