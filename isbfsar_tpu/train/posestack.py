@@ -1334,6 +1334,7 @@ def finetune_detector(
     yolo_input_size: int = 256,
     pose_mode: str = "motions",
     log_every: int = 0,
+    progress_event=None,
 ) -> Dict:
     """Detector-only confidence-calibration fine-tune on hard empty scenes.
 
@@ -1392,6 +1393,13 @@ def finetune_detector(
             "bbox": np.stack(boxes),
             "has_person": np.asarray(flags),
         })
+        if progress_event is not None and step == 0:
+            # relay-wedge watchdog hook: a FETCHED first loss proves the
+            # device round-trip is live — block_until_ready is not a relay
+            # barrier and dispatch alone proves nothing (NEXT.md round-4
+            # gotcha; tools/extend_calib.py arms the watchdog)
+            float(loss)
+            progress_event.set()
         if log_every and step % log_every == 0:
             print(f"[posestack:calib] step {step} loss {loss:.4f}", flush=True)
     return det.variables
@@ -1406,9 +1414,18 @@ PROD_CALIB_BUDGETS = dict(n_steps=200, batch_size=8, empty_frac=0.5,
 # The delta entry's key embeds the BASE production fit's key: retraining
 # the base invalidates the calibration delta too (same discipline as
 # _DIVERSE256_KEY_V).
-_PROD_CALIB_KEY_V = ("1", lambda: (
-    f"posestack-prod256-calib:{sorted(PROD_CALIB_BUDGETS.items())!r}:"
-    f"base=v{_PROD_KEY_V[0]}:{_PROD_KEY_V[1]()}"))
+def prod_calib_key(budgets: Dict) -> str:
+    """Cache key for a prod detector-calibration delta at ``budgets``.
+
+    The ONE key constructor — used by the shipped entry (via
+    ``_PROD_CALIB_KEY_V``) and by ``tools/extend_calib.py --seed-cache``,
+    which pre-seeds a candidate under the key these budgets WOULD get so
+    bundling after a `PROD_CALIB_BUDGETS` update never retrains."""
+    return (f"posestack-prod256-calib:{sorted(budgets.items())!r}:"
+            f"base=v{_PROD_KEY_V[0]}:{_PROD_KEY_V[1]()}")
+
+
+_PROD_CALIB_KEY_V = ("1", lambda: prod_calib_key(PROD_CALIB_BUDGETS))
 
 
 def prod_detector_calib_delta() -> Dict:
