@@ -459,6 +459,20 @@ class TestDetectorCalibration:
         assert _CI_KEY_V[1]() in _CI_CALIB_KEY_V[1]()
         assert _PROD_KEY_V[1]() in _PROD_CALIB_KEY_V[1]()
 
+    def test_prod_calib_key_constructor_is_shared(self):
+        """tools/extend_calib.py --seed-cache pre-writes a candidate delta
+        under the key a future PROD_CALIB_BUDGETS update would resolve to.
+        That contract only holds if prod_calib_key is the ONE constructor:
+        the registered entry's key must equal prod_calib_key(budgets), and
+        any budget change must move the key (so a seeded candidate can
+        never be shadowed by, or shadow, the shipped entry)."""
+        from isbfsar_tpu.train.posestack import (
+            PROD_CALIB_BUDGETS, _PROD_CALIB_KEY_V, prod_calib_key)
+
+        assert _PROD_CALIB_KEY_V[1]() == prod_calib_key(PROD_CALIB_BUDGETS)
+        extended = dict(PROD_CALIB_BUDGETS, n_steps=600, hard_frac=0.85)
+        assert prod_calib_key(extended) != prod_calib_key(PROD_CALIB_BUDGETS)
+
     def test_calib_merge_replaces_only_the_detector(self):
         """prod/ci_pose_params_calib merge semantics: the delta swaps the
         yolo branch and leaves the pose branch untouched."""
